@@ -1,0 +1,2 @@
+from .engine import CounterfactualEngine
+from .finetune import EncoderFinetuner, FinetuneConfig

@@ -1,0 +1,107 @@
+"""Shared CLI plumbing: artifact formats and data loading.
+
+Artifact names stay drop-in compatible with the reference's hardcoded CWD
+paths (``mnist-bigan.tar``, ``mnist-attribute-scm.tar``, ``mnist-vae.tar``,
+``mnist_clf.tar`` — ``mnist_gan_counterfactuals.py:19-33`` etc.); payloads
+are this framework's msgpack pytree checkpoints (core/checkpoint.py).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Mapping, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..core.attributes import AttributeScaler, MNIST_SPEC
+from ..core.checkpoint import load_checkpoint, save_checkpoint
+from ..data.mnist import load_mnist_arrays
+from ..scm.mnist import MNISTAttributeSCM
+
+# ------------------------------------------------------------------ data
+
+
+def load_mnist_training_data(data_dir: str, split: str = "train"):
+    """Returns (x_scaled (N,28,28,1) in [-1,1], attrs raw dict, scaler).
+
+    Images scale [0,255] -> [-1,1] (``image_scms/mnist.py:204``); the
+    scaler carries the train-set min/max for continuous attributes.
+    """
+    x, attrs = load_mnist_arrays(data_dir, split)
+    x = (2.0 * x.reshape((-1, 28, 28, 1)) / 255.0 - 1.0).astype(np.float32)
+    scaler = AttributeScaler.fit(MNIST_SPEC, attrs)
+    return x, attrs, scaler
+
+
+def scale_attrs_np(scaler: AttributeScaler, attrs: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    import jax.numpy as jnp
+
+    scaled = scaler.scale({k: jnp.asarray(v) for k, v in attrs.items()})
+    return {k: np.asarray(v) for k, v in scaled.items()}
+
+
+# ------------------------------------------------------------------ BiGAN
+
+
+def save_bigan(path: str, state, scaler: AttributeScaler, meta: Optional[Dict] = None):
+    tree = {
+        "params_E": state.params_E,
+        "params_G": state.params_G,
+        "vars_D": state.vars_D,
+        "opt_eg": state.opt_eg,
+        "opt_d": state.opt_d,
+        "step": state.step,
+        "scaler": scaler.state_dict(),
+    }
+    save_checkpoint(path, tree, meta={"kind": "bigan", **(meta or {})})
+
+
+def load_bigan(path: str):
+    """Returns (tree dict, scaler)."""
+    tree, meta = load_checkpoint(path)
+    scaler = AttributeScaler.from_state_dict(MNIST_SPEC, tree["scaler"])
+    return tree, scaler, meta
+
+
+# ------------------------------------------------------------------ SCM
+
+
+def save_attribute_scm(path: str, scm: MNISTAttributeSCM):
+    save_checkpoint(path, scm.state_dict(), meta={"kind": "attribute-scm-mnist"})
+
+
+def load_attribute_scm(path: str) -> MNISTAttributeSCM:
+    tree, _ = load_checkpoint(path)  # load_checkpoint restores tuple structure
+    tree = dict(tree)
+    tree["bounds"] = {
+        k: tuple(float(b) for b in v) for k, v in tree["bounds"].items()
+    }
+    return MNISTAttributeSCM.from_state_dict(tree)
+
+
+# ------------------------------------------------------------------ misc
+
+
+def save_grid_png(path: str, rows, row_labels, title: str = "", vmin=-1, vmax=1):
+    """Save a rows x n image grid (reference's per-epoch sample grids,
+    ``image_scms/mnist.py:278-297``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n_rows = len(rows)
+    n = len(rows[0])
+    fig, ax = plt.subplots(n_rows, n, figsize=(1.5 * n, 1.6 * n_rows), squeeze=False)
+    fig.subplots_adjust(wspace=0.05, hspace=0)
+    if title:
+        fig.suptitle(title)
+    for r, (imgs, label) in enumerate(zip(rows, row_labels)):
+        for i in range(n):
+            ax[r, i].imshow(np.asarray(imgs[i]).squeeze(), cmap="gray", vmin=vmin, vmax=vmax)
+            ax[r, i].axis("off")
+        ax[r, 0].set_ylabel(label)
+        fig.text(0.02, 1 - (r + 0.5) / n_rows, label, ha="left", va="center")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    plt.savefig(path)
+    plt.close(fig)

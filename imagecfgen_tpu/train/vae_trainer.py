@@ -1,0 +1,116 @@
+"""Jitted conditional-VAE training (reference ``deepscm_vae/mnist.py:136-242``).
+
+Adam with default betas, loss = -ELBO(num_samples, kl_weight); the epoch is
+one ``lax.scan`` over device-resident batches, data-parallel over the
+``("data",)`` mesh axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.vae import ConditionalVAE
+from ..parallel.mesh import DATA_AXIS, data_mesh
+
+
+@flax.struct.dataclass
+class VAEState:
+    params: Any  # {"encoder": ..., "decoder": ...}
+    opt: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class VAETrainConfig:
+    learning_rate: float = 1e-4
+    batch_size: int = 64
+    num_samples_per_step: int = 4
+    kl_weight: float = 10.0  # reference train() default (deepscm_vae/mnist.py:146)
+
+
+class VAETrainer:
+    def __init__(self, model: ConditionalVAE, tcfg: VAETrainConfig, mesh=None):
+        self.model = model
+        self.tcfg = tcfg
+        self.mesh = mesh if mesh is not None else data_mesh()
+        self.tx = optax.adam(tcfg.learning_rate)
+        self._epoch_fn = None
+
+    def init_state(self, rng: jax.Array) -> VAEState:
+        cfg = self.model.cfg
+        h, w = cfg.image_size
+        x = jnp.zeros((2, h, w, cfg.image_channels), jnp.float32)
+        z = jnp.zeros((2, 1, 1, cfg.latent_dim), jnp.float32)
+        attrs = {}
+        for a in cfg.attr_spec.categorical:
+            attrs[a.name] = jnp.zeros((2, a.n_categories), jnp.float32).at[:, 0].set(1.0)
+        for a in cfg.attr_spec.continuous:
+            attrs[a.name] = jnp.zeros((2,), jnp.float32)
+
+        def _init(rng):
+            ke, kd, rng = jax.random.split(rng, 3)
+            vE = self.model.encoder.init({"params": ke}, x, attrs)
+            vD = self.model.decoder.init({"params": kd}, z, attrs)
+            params = {"encoder": vE["params"], "decoder": vD["params"]}
+            return VAEState(
+                params=params,
+                opt=self.tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+                rng=rng,
+            )
+
+        return jax.jit(_init)(rng)
+
+    def train_step(self, state: VAEState, batch) -> Tuple[VAEState, Dict[str, jnp.ndarray]]:
+        x, attrs = batch["image"], batch["attrs"]
+        rng, key = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            elbo = self.model.elbo(
+                params,
+                key,
+                x,
+                attrs,
+                num_samples=self.tcfg.num_samples_per_step,
+                kl_weight=self.tcfg.kl_weight,
+                train=True,
+            )
+            return -elbo
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt = self.tx.update(grads, state.opt, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = VAEState(params=params, opt=opt, step=state.step + 1, rng=rng)
+        return new_state, {"neg_elbo": loss}
+
+    def _build_epoch_fn(self):
+        batch_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        repl = NamedSharding(self.mesh, P())
+
+        def epoch(state, batches):
+            state, metrics = jax.lax.scan(self.train_step, state, batches)
+            return state, jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+
+        return jax.jit(
+            epoch, in_shardings=(repl, batch_sh), out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    def run_epoch(self, state, batches):
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+        return self._epoch_fn(state, batches)
+
+    # convenience inference wrappers
+    def decode(self, state: VAEState, z, attrs):
+        return self.model.decoder.apply({"params": state.params["decoder"]}, z, attrs)
+
+    def encode(self, state: VAEState, x, attrs):
+        return self.model.encoder.apply({"params": state.params["encoder"]}, x, attrs)

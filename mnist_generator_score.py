@@ -1,0 +1,34 @@
+"""Generation-quality score: classifier accuracy on G(z, a) with a ~ SCM.
+
+Successor of ``mnist_generator_score.py:63-76``.
+"""
+from argparse import ArgumentParser
+import os
+
+parser = ArgumentParser()
+parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--n", type=int, default=4096)
+parser.add_argument("--seed", type=int, default=0)
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    import jax
+
+    from imagecfgen_tpu.cli.common import load_attribute_scm, load_bigan
+    from imagecfgen_tpu.core.checkpoint import load_checkpoint
+    from imagecfgen_tpu.metrics.scores import generator_score
+    from imagecfgen_tpu.models.bigan import BiGAN, mnist_bigan_config
+    from imagecfgen_tpu.models.classifier import CNNClassifier, mnist_classifier_config
+
+    tree, scaler, _ = load_bigan(os.path.join(args.model_dir, "mnist-bigan.tar"))
+    scm = load_attribute_scm(os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
+    clf_tree, _ = load_checkpoint(os.path.join(args.model_dir, "mnist_clf.tar"))
+    clf = CNNClassifier(mnist_classifier_config())
+    clf_fn = jax.jit(lambda im: clf.apply({"params": clf_tree["params"]}, im))
+
+    model = BiGAN(mnist_bigan_config())
+    gen_fn = jax.jit(
+        lambda z, a: model.generator.apply({"params": tree["params_G"]}, z, a)
+    )
+    acc = generator_score(gen_fn, clf_fn, scm, scaler, jax.random.PRNGKey(args.seed), n=args.n)
+    print(f"generated-sample digit accuracy: {acc:.4f}")

@@ -1,0 +1,65 @@
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPTS = [
+    "create_train_dataset.py",
+    "create_test_dataset.py",
+    "train_mnist_image_scm.py",
+    "train_mnist_attribute_scm.py",
+    "train_mnist_vae.py",
+    "train_mnist_clf.py",
+    "train_morphomnist_oracles.py",
+    "train_morphomnist_ae.py",
+    "finetune_mnist_bigan.py",
+    "mnist_gan_counterfactuals.py",
+    "mnist_bigan_score.py",
+    "mnist_vae_score.py",
+    "mnist_generator_score.py",
+    "mnist_vae_generator_score.py",
+    "mnist_reconstructions.py",
+]
+
+
+@pytest.mark.parametrize("script", SCRIPTS)
+def test_cli_help(script):
+    """Every entry point parses --help without importing heavyweight deps."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), "--help"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "usage" in proc.stdout.lower()
+
+
+@pytest.mark.slow
+def test_dataset_synthesis_small(tmp_path):
+    """create_train_dataset end-to-end on a few synthetic glyphs."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "create_train_dataset.py"),
+            "--synthetic", "8", "--scale", "4", "--workers", "1",
+            "--out-dir", str(tmp_path),
+        ],
+        capture_output=True, text=True, timeout=300, cwd=REPO,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr
+    import numpy as np
+
+    x = np.load(tmp_path / "mnist-x-train.npy")
+    a = np.load(tmp_path / "mnist-a-train.npy")
+    assert x.shape == (8, 28, 28)
+    assert a.shape == (8, 13)
+    # one-hot digit block + positive thickness + intensity in range
+    assert np.allclose(a[:, :10].sum(axis=1), 1.0)
+    assert (a[:, 10] > 0).all()
+    assert (a[:, 11] > 50).all() and (a[:, 11] < 260).all()

@@ -1,0 +1,116 @@
+import numpy as np
+import pytest
+
+from imagecfgen_tpu.morphomnist._skeletonize import _native_lib, medial_axis
+from imagecfgen_tpu.morphomnist.io import load_idx, save_idx
+from imagecfgen_tpu.morphomnist.measure import measure_image
+from imagecfgen_tpu.morphomnist.morpho import ImageMoments, ImageMorphology
+from imagecfgen_tpu.morphomnist.perturb import SetSlant, SetThickness, Thickening, Thinning
+
+
+def _stroke_image(thickness=3.0, size=28, length=16):
+    """Synthetic vertical stroke of known thickness (pixels)."""
+    img = np.zeros((size, size), dtype=np.float32)
+    c = size // 2
+    half = thickness / 2.0
+    lo, hi = int(np.floor(c - half)), int(np.ceil(c + half))
+    img[size // 2 - length // 2 : size // 2 + length // 2, lo:hi] = 255.0
+    return img
+
+
+def test_native_skeletonize_lib_builds():
+    lib = _native_lib()
+    assert lib is not None, "C++ skeletonize kernel failed to build"
+
+
+def test_medial_axis_of_rect_stroke():
+    img = _stroke_image(thickness=5) > 0
+    skel, dist = medial_axis(img, return_distance=True)
+    assert skel.sum() > 0
+    # skeleton lies inside the stroke and roughly down its center column
+    assert (img[skel]).all()
+    cols = np.where(skel.any(axis=0))[0]
+    assert cols.min() >= 11 and cols.max() <= 17
+    # distance at the skeleton ~ half thickness
+    assert 1.5 <= dist[skel].mean() <= 3.5
+
+
+def test_python_fallback_matches_native():
+    from imagecfgen_tpu.morphomnist import _skeletonize as sk
+
+    img = _stroke_image(thickness=5) > 0
+    native = sk.medial_axis(img)
+    lib = sk._native_lib
+    # force python fallback
+    sk._native_lib.cache_clear()
+    orig = sk._native_lib.__wrapped__
+    try:
+        sk._native_lib = lambda: None
+        fallback = sk.medial_axis(img)
+    finally:
+        sk._native_lib = lib
+    assert np.array_equal(np.asarray(native), np.asarray(fallback))
+
+
+def test_measure_thickness_close_to_truth():
+    img = _stroke_image(thickness=4.0)
+    m = measure_image(img, scale=4, verbose=False)
+    assert 2.5 < m.thickness < 5.5
+    assert m.length > 8
+    assert abs(m.slant) < 0.2
+
+
+def test_set_thickness_moves_measurement():
+    img = _stroke_image(thickness=3.0)
+    morph = ImageMorphology(img, scale=4)
+    base = morph.mean_thickness
+
+    thicker_hi = SetThickness(base + 2.0)(morph)
+    thicker = morph.downscale(np.float32(thicker_hi) * 255.0)
+    m2 = ImageMorphology(thicker, scale=4).mean_thickness
+    assert m2 > base + 0.75, (base, m2)
+
+    thinner_hi = SetThickness(max(base - 1.5, 0.8))(morph)
+    thinner = morph.downscale(np.float32(thinner_hi) * 255.0)
+    m3 = ImageMorphology(thinner, scale=4).mean_thickness
+    assert m3 < base - 0.4, (base, m3)
+
+
+def test_set_slant_changes_shear():
+    img = _stroke_image(thickness=4.0, length=20)
+    morph = ImageMorphology(img, scale=4)
+    target = 0.35  # radians
+    warped_hi = SetSlant(target)(morph)
+    warped = morph.downscale(np.float32(warped_hi) * 255.0)
+    m = measure_image(warped, scale=4, verbose=False)
+    assert abs(m.slant - target) < 0.15, m.slant
+
+
+def test_thinning_thickening():
+    img = _stroke_image(thickness=5.0)
+    morph = ImageMorphology(img, scale=4)
+    thin = Thinning(0.5)(morph)
+    thick = Thickening(0.5)(morph)
+    assert thin.sum() < morph.binary_image.sum() < thick.sum()
+
+
+def test_moments_of_sheared_stroke():
+    # construct a sheared stroke; horizontal_shear should be positive
+    size = 28
+    img = np.zeros((size, size), np.float32)
+    for r in range(4, 24):
+        c = int(14 + 0.4 * (14 - r))
+        img[r, c - 2 : c + 2] = 255
+    mom = ImageMoments(img)
+    assert mom.horizontal_shear < 0 or mom.horizontal_shear > 0  # finite
+    assert np.isfinite(mom.axis_lengths).all()
+
+
+def test_idx_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 255, (7, 28, 28), dtype=np.uint8)
+    for name in ("a.idx", "a.idx.gz"):
+        p = str(tmp_path / name)
+        save_idx(data, p)
+        back = load_idx(p)
+        assert np.array_equal(data, back)

@@ -1,0 +1,56 @@
+"""Train per-class (and all-class) conv autoencoders for CF realism metrics.
+
+Successor of the reference ``train_morphomnist_ae.py:61-118`` (``--cls``
+selects one digit; ``--cls -1`` trains on all digits); saves
+``ae-{cls}.tar`` / ``ae-all.tar``.
+"""
+from argparse import ArgumentParser
+import os
+
+parser = ArgumentParser()
+parser.add_argument("--data-dir", type=str, default="")
+parser.add_argument("--cls", type=int, default=-1, help="-1 = all classes")
+parser.add_argument("--epochs", type=int, default=50)
+parser.add_argument("--batch-size", type=int, default=128)
+parser.add_argument("--output-path", type=str, default="")
+parser.add_argument("--seed", type=int, default=0)
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagecfgen_tpu.core.checkpoint import save_checkpoint
+    from imagecfgen_tpu.data.mnist import load_mnist_arrays
+    from imagecfgen_tpu.models.classifier import AutoEncoderConfig, ConvAutoEncoder
+    from imagecfgen_tpu.train.clf_trainer import (
+        SupervisedTrainConfig,
+        SupervisedTrainer,
+        make_supervised_batches,
+    )
+
+    x, attrs = load_mnist_arrays(args.data_dir, "train")
+    x = (2.0 * x.reshape((-1, 28, 28, 1)) / 255.0 - 1.0).astype(np.float32)
+    if args.cls >= 0:
+        mask = attrs["digit"].argmax(axis=1) == args.cls
+        x = x[mask]
+
+    ae = ConvAutoEncoder(AutoEncoderConfig())
+    trainer = SupervisedTrainer(
+        ae, SupervisedTrainConfig(batch_size=args.batch_size, loss="mse")
+    )
+    state = trainer.init_state(jax.random.PRNGKey(args.seed), jnp.zeros((2, 28, 28, 1)))
+    rng = np.random.default_rng(args.seed)
+    for epoch in range(args.epochs):
+        batches = make_supervised_batches(rng, x, x, args.batch_size)
+        state, metrics = trainer.run_epoch(state, batches)
+        if (epoch + 1) % 10 == 0:
+            print(f"epoch {epoch + 1}/{args.epochs}: mse={float(metrics['loss']):.5f}")
+
+    name = "all" if args.cls < 0 else str(args.cls)
+    out = os.path.join(args.output_path or ".", f"ae-{name}.tar")
+    os.makedirs(args.output_path or ".", exist_ok=True)
+    save_checkpoint(out, {"params": jax.device_get(state.params)},
+                    meta={"kind": "mnist-ae", "cls": args.cls})
+    print(f"saved {out}")
