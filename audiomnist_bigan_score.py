@@ -1,0 +1,81 @@
+"""AudioMNIST CF-effectiveness: intervene on an attribute via the causal
+graph (resampled to a different class), regenerate with the BiGAN, and
+score with the matching attribute classifier.
+
+Successor of ``audiomnist_bigan_score.py:78-146``; the rejection loop is a
+masked categorical draw, the whole scoring pass is batched on device.
+"""
+from argparse import ArgumentParser
+import os
+
+parser = ArgumentParser()
+parser.add_argument("--zip-path", type=str, default=None)
+parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--attribute", type=str, default="digit")
+parser.add_argument("--batch-size", type=int, default=128)
+parser.add_argument("--mc-rounds", type=int, default=1)
+parser.add_argument("--seed", type=int, default=0)
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagecfgen_tpu.cli.audio_common import (
+        load_audio_bigan,
+        load_audio_dataset,
+        load_audio_scm,
+    )
+    from imagecfgen_tpu.core.checkpoint import load_checkpoint
+    from imagecfgen_tpu.data.audio_mnist import VALIDATION_RUNS
+    from imagecfgen_tpu.metrics.scores import resample_excluding
+    from imagecfgen_tpu.models.bigan import BiGAN, audio_mnist_bigan_config
+    from imagecfgen_tpu.models.classifier import CNNClassifier, audio_mnist_classifier_config
+    from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
+
+    data = load_audio_dataset(args.zip_path)
+    tree, stats, _meta = load_audio_bigan(os.path.join(args.model_dir, "audio-mnist-bigan.tar"))
+    scm = load_audio_scm(os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
+    ctree, cmeta = load_checkpoint(
+        os.path.join(args.model_dir, f"audio-mnist-{args.attribute}-clf.tar")
+    )
+    clf = CNNClassifier(audio_mnist_classifier_config(
+        CARDINALITIES[args.attribute], width=cmeta.get("width", 1.0)))
+    clf_fn = jax.jit(lambda im: clf.apply({"params": ctree["params"]}, im))
+
+    model = BiGAN(audio_mnist_bigan_config(d=_meta.get("d", 64)))
+    E_apply = jax.jit(lambda x, a: model.encoder.apply({"params": tree["params_E"]}, x, a))
+    G_apply = jax.jit(lambda z, a: model.generator.apply({"params": tree["params_G"]}, z, a))
+
+    # validation stream
+    spects, attrs, _ = data.all_spectrograms(
+        excluded_runs=data.validation_excluded_runs
+    )
+    x = np.asarray(stats.spect_to_img(jnp.asarray(spects)))[..., None]
+
+    rng = jax.random.PRNGKey(args.seed)
+    correct = total = 0
+    for i in range(0, len(x), args.batch_size):
+        xb = jnp.asarray(x[i : i + args.batch_size])
+        ab = {k: jnp.asarray(v[i : i + args.batch_size]) for k, v in attrs.items()}
+        codes = E_apply(xb, ab)
+        obs = {k: jnp.argmax(v, axis=1) for k, v in ab.items()}
+        for r in range(args.mc_rounds):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            new_cls = resample_excluding(
+                scm.graph, scm.params, scm.state, k1, args.attribute, obs
+            )
+            cf_obs = scm.sample_cf(k2, obs, {args.attribute: new_cls})
+            cf_ab = {
+                k: jax.nn.one_hot(cf_obs[k].reshape((-1,)).astype(jnp.int32), CARDINALITIES[k])
+                for k in CARDINALITIES
+            }
+            rec = G_apply(codes, cf_ab)
+            pred = jnp.argmax(clf_fn(rec), axis=1)
+            correct += int((pred == new_cls).sum())
+            total += len(xb)
+    print(f"{args.attribute} cf accuracy: {correct / max(total, 1):.4f}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

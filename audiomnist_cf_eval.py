@@ -1,0 +1,139 @@
+"""Subject-identity preservation under digit counterfactuals:
+per-subject manifold-distance-ratio matrices.
+
+Successor of ``audiomnist_cf_eval.py:40-140``: for every subject and every
+target digit d, counterfactual all of the subject's validation clips with
+digit != d to digit d (BiGAN, fine-tuned BiGAN, VAE, plus random-latent
+"intervention" baselines) and record
+mean squared distance to the subject's own digit-d clips divided by the
+mean squared distance to all *other* subjects' digit-d clips — ratio < 1
+means the CF stays on the subject's manifold. Outputs the same
+``*_cf_metric_mat.npy`` artifacts.
+"""
+from argparse import ArgumentParser
+import os
+
+parser = ArgumentParser()
+parser.add_argument("--zip-path", type=str, default=None)
+parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--bigan", type=str, default="audio-mnist-bigan.tar")
+parser.add_argument("--bigan-ft", type=str, default=None)
+parser.add_argument("--vae", type=str, default=None)
+parser.add_argument("--out-dir", type=str, default="")
+parser.add_argument("--seed", type=int, default=0)
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagecfgen_tpu.cli.audio_common import load_audio_bigan, load_audio_dataset
+    from imagecfgen_tpu.data.audio_mnist import VALIDATION_RUNS
+    from imagecfgen_tpu.models.bigan import BiGAN, audio_mnist_bigan_config
+    from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
+
+    data = load_audio_dataset(args.zip_path)
+    tree, stats, _meta = load_audio_bigan(os.path.join(args.model_dir, args.bigan))
+    model = BiGAN(audio_mnist_bigan_config(d=_meta.get("d", 64)))
+
+    models = {"bigan": (tree["params_E"], tree["params_G"])}
+    if args.bigan_ft:
+        ft_tree, _, _ = load_audio_bigan(os.path.join(args.model_dir, args.bigan_ft))
+        models["bigan_ft"] = (ft_tree["params_E"], ft_tree["params_G"])
+
+    vae_bundle = None
+    if args.vae:
+        from imagecfgen_tpu.core.checkpoint import load_checkpoint
+        from imagecfgen_tpu.models.vae import ConditionalVAE, audio_mnist_vae_config
+
+        vtree, _ = load_checkpoint(os.path.join(args.model_dir, args.vae))
+        vae_model = ConditionalVAE(audio_mnist_vae_config())
+        vae_bundle = (vae_model, vtree["params"])
+
+    # validation split, spectrograms normalised once
+    spects, attrs, idx = data.all_spectrograms(
+        excluded_runs=data.validation_excluded_runs
+    )
+    x_all = np.asarray(stats.spect_to_img(jnp.asarray(spects)))[..., None]
+    subjects = data.raw["subject"][idx]
+    digits = attrs["digit"].argmax(axis=1)
+    n_subj = int(subjects.max())
+
+    E_apply = jax.jit(lambda p, x, a: model.encoder.apply({"params": p}, x, a))
+    G_apply = jax.jit(lambda p, z, a: model.generator.apply({"params": p}, z, a))
+
+    @jax.jit
+    def ratio(cf_flat, same_flat, other_flat):
+        same_err = ((cf_flat[:, None, :] - same_flat[None]) ** 2).sum(-1).mean(1)
+        other_err = ((cf_flat[:, None, :] - other_flat[None]) ** 2).sum(-1).mean(1)
+        return same_err / jnp.maximum(other_err, 1e-12)
+
+    names = list(models) + (["vae"] if vae_bundle else []) + ["bigan_int"] + (
+        ["vae_int"] if vae_bundle else []
+    )
+    mats = {m: [] for m in names}
+    rng = jax.random.PRNGKey(args.seed)
+
+    for subject in range(1, n_subj + 1):
+        mask_s = subjects == subject
+        if not mask_s.any():
+            continue
+        rows = {m: [] for m in names}
+        for d in range(10):
+            nd = mask_s & (digits != d)
+            same = mask_s & (digits == d)
+            other = (~mask_s) & (digits == d)
+            if not nd.any() or not same.any() or not other.any():
+                for m in names:
+                    rows[m].append(np.full(int(nd.sum()) or 1, np.nan))
+                continue
+            xb = jnp.asarray(x_all[nd])
+            ab = {k: jnp.asarray(v[nd]) for k, v in attrs.items()}
+            cf_a = dict(ab)
+            cf_a["digit"] = jnp.zeros_like(ab["digit"]).at[:, d].set(1.0)
+            same_flat = jnp.asarray(x_all[same]).reshape((int(same.sum()), -1))
+            other_flat = jnp.asarray(x_all[other]).reshape((int(other.sum()), -1))
+
+            for m, (pE, pG) in models.items():
+                codes = E_apply(pE, xb, ab)
+                cf = G_apply(pG, codes, cf_a).reshape((xb.shape[0], -1))
+                rows[m].append(np.asarray(ratio(cf, same_flat, other_flat)))
+            rng, kz = jax.random.split(rng)
+            z = jax.random.normal(kz, (xb.shape[0], 1, 1, 512))
+            cf = G_apply(models["bigan"][1], z, cf_a).reshape((xb.shape[0], -1))
+            rows["bigan_int"].append(np.asarray(ratio(cf, same_flat, other_flat)))
+
+            if vae_bundle:
+                vm, vp = vae_bundle
+                mean, _ = vm.encoder.apply({"params": vp["encoder"]}, xb, ab)
+                cf = vm.decoder.apply({"params": vp["decoder"]}, mean, cf_a).reshape(
+                    (xb.shape[0], -1)
+                )
+                rows["vae"].append(np.asarray(ratio(cf, same_flat, other_flat)))
+                cf = vm.decoder.apply(
+                    {"params": vp["decoder"]}, jax.random.normal(kz, mean.shape), cf_a
+                ).reshape((xb.shape[0], -1))
+                rows["vae_int"].append(np.asarray(ratio(cf, same_flat, other_flat)))
+        for m in names:
+            mats[m].append(rows[m])
+        print(f"subject {subject}: bigan ratio "
+              f"{np.nanmean(np.concatenate(rows['bigan'])):.4f}")
+
+    os.makedirs(args.out_dir or ".", exist_ok=True)
+    name_map = {"bigan": "bigan_cf_metric_mat.npy",
+                "bigan_ft": "bigan_ft_cf_metric_mat.npy",
+                "vae": "vae_cf_metric_mat.npy",
+                "bigan_int": "bigan_int_metric_mat.npy",
+                "vae_int": "vae_int_metric_mat.npy"}
+    for m in names:
+        arr = np.asarray(
+            [[np.asarray(cell) for cell in subj_rows] for subj_rows in mats[m]],
+            dtype=object,
+        )
+        np.save(os.path.join(args.out_dir or ".", name_map[m]), arr, allow_pickle=True)
+        flat = np.concatenate([np.concatenate(r) for r in mats[m]])
+        print(f"{m}: mean ratio {np.nanmean(flat):.4f}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

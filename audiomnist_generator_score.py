@@ -1,0 +1,54 @@
+"""Generation quality for the AudioMNIST BiGAN: attribute-classifier
+accuracy on G(z, a) with a ~ causal graph (successor of
+``audiomnist_generator_score.py:74-109``)."""
+from argparse import ArgumentParser
+import os
+
+parser = ArgumentParser()
+parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--attribute", type=str, default="digit")
+parser.add_argument("--n", type=int, default=1024)
+parser.add_argument("--batch-size", type=int, default=256)
+parser.add_argument("--seed", type=int, default=0)
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagecfgen_tpu.cli.audio_common import load_audio_bigan, load_audio_scm
+    from imagecfgen_tpu.core.checkpoint import load_checkpoint
+    from imagecfgen_tpu.models.bigan import BiGAN, audio_mnist_bigan_config
+    from imagecfgen_tpu.models.classifier import CNNClassifier, audio_mnist_classifier_config
+    from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
+
+    tree, stats, _ = load_audio_bigan(os.path.join(args.model_dir, "audio-mnist-bigan.tar"))
+    scm = load_audio_scm(os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
+    ctree, cmeta = load_checkpoint(
+        os.path.join(args.model_dir, f"audio-mnist-{args.attribute}-clf.tar")
+    )
+    clf = CNNClassifier(audio_mnist_classifier_config(
+        CARDINALITIES[args.attribute], width=cmeta.get("width", 1.0)))
+    clf_fn = jax.jit(lambda im: clf.apply({"params": ctree["params"]}, im))
+    model = BiGAN(audio_mnist_bigan_config())
+    G_apply = jax.jit(lambda z, a: model.generator.apply({"params": tree["params_G"]}, z, a))
+
+    rng = jax.random.PRNGKey(args.seed)
+    correct = 0
+    for i in range(0, args.n, args.batch_size):
+        b = min(args.batch_size, args.n - i)
+        rng, k1, k2 = jax.random.split(rng, 3)
+        samp = scm.sample(k1, n=b)
+        attrs = {
+            k: jax.nn.one_hot(samp[k].reshape((-1,)).astype(jnp.int32), card)
+            for k, card in CARDINALITIES.items()
+        }
+        z = jax.random.normal(k2, (b, 1, 1, 512))
+        gen = G_apply(z, attrs)
+        pred = jnp.argmax(clf_fn(gen), axis=1)
+        correct += int((pred == samp[args.attribute].reshape((-1,))).sum())
+    print(f"generated {args.attribute} accuracy: {correct / args.n:.4f}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

@@ -66,3 +66,6 @@ if __name__ == "__main__":
     out = f"mnist-bigan-finetuned-{args.metric}.tar"
     save_bigan(out, _S, scaler_ckpt, meta={"finetuned": args.metric})
     print(f"saved {out}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

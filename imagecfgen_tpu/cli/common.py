@@ -18,6 +18,21 @@ from ..core.checkpoint import load_checkpoint, save_checkpoint
 from ..data.mnist import load_mnist_arrays
 from ..scm.mnist import MNISTAttributeSCM
 
+def clean_exit(code: int = 0) -> None:
+    """Flush and exit without running interpreter teardown.
+
+    The axon TPU tunnel's client teardown can deadlock at interpreter exit
+    (observed: scripts finish all work, save checkpoints, then hang in
+    atexit; a killed client then wedges the server for minutes). CLI
+    scripts call this after their final save/print.
+    """
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(code)
+
+
 # ------------------------------------------------------------------ data
 
 

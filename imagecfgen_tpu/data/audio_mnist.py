@@ -69,10 +69,12 @@ def _resample_to_8k(wav: np.ndarray, sr: int) -> np.ndarray:
 
 class OneHotVocab:
     """Sorted-unique vocabulary one-hot codec (sklearn OneHotEncoder
-    semantics: categories sorted ascending)."""
+    semantics: categories sorted ascending). ``categories`` may be given
+    explicitly to pin the width (the synthetic stand-in pins the real
+    dataset's cardinalities so model specs line up)."""
 
-    def __init__(self, values: Sequence):
-        self.categories = sorted(set(values))
+    def __init__(self, values: Sequence, categories: Optional[Sequence] = None):
+        self.categories = sorted(set(values)) if categories is None else sorted(categories)
         self.index = {v: i for i, v in enumerate(self.categories)}
 
     @property
@@ -178,6 +180,15 @@ class AudioMNISTData:
         accents = ["german", "spanish", "french", "italian", "chinese", "portuguese",
                    "arabic", "hindi", "japanese", "swahili", "mexican", "norwegian",
                    "turkish", "english", "other"]
+        # pin full vocabularies so one-hot widths match the real dataset's
+        # cardinalities (13 countries, 15 accents, ... — scm/audio_mnist.py)
+        self._fixed_categories = {
+            "country_of_origin": countries,
+            "accent": accents,
+            "digit": list(range(10)),
+            "native_speaker": ["no", "yes"],
+            "gender": ["female", "male"],
+        }
         raw = {k: [] for k in ("audio", "country_of_origin", "native_speaker",
                                "accent", "digit", "age", "gender", "subject", "run")}
         t = np.arange(N_SAMPLES) / SAMPLE_RATE
@@ -220,11 +231,32 @@ class AudioMNISTData:
         self.raw = {k: np.asarray(v) for k, v in raw.items()}
         self.raw["audio"] = np.stack(raw["audio"], axis=0)
 
+    # ------------------------------------------------------------ splits
+
+    @property
+    def validation_runs(self) -> List[int]:
+        """VALIDATION_RUNS restricted to runs actually present; falls back
+        to the last observed run (the synthetic stand-in has few runs)."""
+        observed = set(int(r) for r in np.unique(self.raw["run"]))
+        present = [r for r in VALIDATION_RUNS if r in observed]
+        return present if present else [max(observed)]
+
+    @property
+    def training_excluded_runs(self) -> List[int]:
+        return self.validation_runs
+
+    @property
+    def validation_excluded_runs(self) -> List[int]:
+        observed = set(int(r) for r in np.unique(self.raw["run"]))
+        return sorted(observed - set(self.validation_runs))
+
     # ------------------------------------------------------------ encoders
 
     def _fit_encoders(self) -> None:
+        fixed = getattr(self, "_fixed_categories", {})
         self.vocabs: Dict[str, OneHotVocab] = {
-            k: OneHotVocab(self.raw[k].tolist()) for k in CATEGORICAL_FEATURES
+            k: OneHotVocab(self.raw[k].tolist(), categories=fixed.get(k))
+            for k in CATEGORICAL_FEATURES
         }
         self.age_binner = UniformBinner(self.raw["age"], n_bins=5)
 

@@ -1,0 +1,191 @@
+"""ESRF hydrophone-station pipeline (boat presence / proximity).
+
+Rebuild of the reference ``EsrfStation`` (``image_scms/esrf_acoustic.py:
+32-131``): CSV labels with BG* distance columns reduced to a
+``closest_boat`` scalar (100 - strongest BG index; -1 if none), rows kept
+at distance <= 30, 10:1 negative oversampling cap, seeded path-level
+train/validation split, random 5-second windows (10 per boat-positive
+recording, 1 otherwise), and the
+``Spectrogram(n_fft=1023, win_length=256, hop_length=79, pad=200)`` ->
+512^2 log images, computed on device. ``closest_boat`` is scaled
+``2*d/100 - 1`` at transform time (``esrf_acoustic.py:124``).
+
+Synthetic fallback: ship-noise-like low-frequency rumble whose amplitude
+tracks boat proximity.
+"""
+from __future__ import annotations
+
+import os
+from functools import partial
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stft import StftConfig, griffin_lim, spectrogram
+
+ESRF_STFT = StftConfig(n_fft=1023, win_length=256, hop_length=79, pad=200)
+ESRF_GL_STFT = StftConfig(n_fft=1023, win_length=256, hop_length=79, pad=0)
+SAMPLE_RATE = 8000
+WINDOW_SECONDS = 5
+N_SAMPLES = WINDOW_SECONDS * SAMPLE_RATE
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def esrf_spectrogram_batch(audio: jnp.ndarray, cfg: StftConfig = ESRF_STFT) -> jnp.ndarray:
+    return jnp.log(spectrogram(audio, cfg) + 1e-6)
+
+
+def esrf_audio_from_log_spect(log_spec: jnp.ndarray, rng=None, n_iter: int = 32):
+    return griffin_lim(jnp.exp(log_spec), ESRF_GL_STFT, rng=rng, n_iter=n_iter)
+
+
+def distance_from_bg_columns(bg_matrix: np.ndarray) -> np.ndarray:
+    """closest_boat = 100 - highest active BG index, -1 when no boat
+    (``esrf_acoustic.py:49-54``)."""
+    out = np.full(len(bg_matrix), -1.0)
+    for i, row in enumerate(np.asarray(bg_matrix)):
+        active = np.nonzero(row > 0)[0]
+        if len(active):
+            out[i] = 100 - active.max()
+    return out
+
+
+class EsrfStation:
+    def __init__(
+        self,
+        station_wav_path: Optional[str] = None,
+        station_label_csv: Optional[str] = None,
+        validation_split: float = 0.2,
+        seed: int = 42,
+        synthetic_recordings: int = 24,
+    ):
+        if station_wav_path is None:
+            self._load_synthetic(synthetic_recordings, seed, validation_split)
+        else:
+            self._index_real(station_wav_path, station_label_csv, validation_split, seed)
+
+    def _index_real(self, wav_path, label_csv, validation_split, seed):
+        import pandas as pd
+
+        df = pd.read_csv(label_csv)
+        df["filepath"] = df["filepath"].str.split("/").apply(lambda x: x[-1])
+        bg_cols = [c for c in df.columns if c.startswith("BG")]
+        dist = distance_from_bg_columns(np.asarray(df[bg_cols]))
+        keep = dist <= 30
+        df, dist = df[keep], dist[keep]
+        has_boat = (dist > 0).astype(float)
+        dist = np.where(has_boat > 0, dist, 0.0)
+        self.df, self.distance_feature, self.has_boat_flag = df, dist, has_boat
+
+        filepaths = set(df["filepath"])
+        wavs = [
+            p for p in map(str, Path(wav_path).rglob("*.wav"))
+            if "8000" in p and os.path.split(p)[-1] in filepaths
+        ]
+        # cap boat-negative recordings at 10x the positive count
+        def is_positive(p):
+            row = has_boat[np.asarray(df["filepath"] == os.path.split(p)[-1])]
+            return len(row) and row[0] == 1
+
+        positives = [p for p in wavs if is_positive(p)]
+        negatives = [p for p in wavs if not is_positive(p)]
+        wavs = positives + negatives[: 10 * len(positives)]
+
+        rng = np.random.RandomState(seed)
+        inds = rng.permutation(len(wavs))
+        n_train = int(len(wavs) * (1 - validation_split))
+        self.train_paths = [wavs[i] for i in inds[:n_train]]
+        self.validation_paths = [wavs[i] for i in inds[n_train:]]
+        self._synthetic = None
+
+    def _load_synthetic(self, n_rec: int, seed: int, validation_split: float):
+        rng = np.random.default_rng(seed)
+        recs = []
+        t = np.arange(20 * SAMPLE_RATE) / SAMPLE_RATE
+        for k in range(n_rec):
+            has_boat = rng.uniform() < 0.5
+            dist = float(rng.integers(5, 31)) if has_boat else 0.0
+            noise = 0.05 * rng.normal(0, 1, len(t))
+            if has_boat:
+                amp = 1.0 - dist / 40.0
+                rumble = sum(
+                    amp / (h + 1) * np.sin(2 * np.pi * (25.0 * (h + 1)) * t + rng.uniform(0, 6))
+                    for h in range(6)
+                )
+                noise = noise + rumble
+            recs.append((noise.astype(np.float32), has_boat, dist))
+        inds = rng.permutation(n_rec)
+        n_train = int(n_rec * (1 - validation_split))
+        self._synthetic = {
+            "train": [recs[i] for i in inds[:n_train]],
+            "validation": [recs[i] for i in inds[n_train:]],
+        }
+
+    # ------------------------------------------------------------ streaming
+
+    def stream(
+        self, transform: bool = True, batch_size: int = 64,
+        shuffle: bool = True, mode: str = "train", seed: int = 0,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(seed)
+        buf = {"audio": [], "closest_boat": [], "has_boat": [], "start_idx": []}
+
+        def emit():
+            audio = np.stack(buf["audio"], axis=0).astype(np.float32)
+            out = {
+                "has_boat": np.stack(buf["has_boat"], axis=0).astype(np.float32),
+                "closest_boat": np.asarray(buf["closest_boat"], np.float32),
+                "start_idx": np.asarray(buf["start_idx"], np.float32),
+            }
+            if transform:
+                out["audio"] = np.asarray(esrf_spectrogram_batch(jnp.asarray(audio)))
+                out["closest_boat"] = 2 * out["closest_boat"] / 100.0 - 1.0
+            else:
+                out["audio"] = audio
+            return out
+
+        def push(audio_data, has_boat, dist):
+            n_windows = 10 if has_boat else 1
+            starts = rng.integers(0, len(audio_data) - N_SAMPLES, size=n_windows)
+            onehot = np.zeros(2, np.float32)
+            onehot[int(has_boat)] = 1.0
+            for s in starts:
+                buf["audio"].append(audio_data[s : s + N_SAMPLES])
+                buf["has_boat"].append(onehot)
+                buf["closest_boat"].append(dist)
+                buf["start_idx"].append(s)
+
+        if self._synthetic is not None:
+            recs = list(self._synthetic["train" if mode == "train" else "validation"])
+            if shuffle:
+                rng.shuffle(recs)
+            for audio, has_boat, dist in recs:
+                push(audio, has_boat, dist)
+                if len(buf["audio"]) >= batch_size:
+                    yield emit()
+                    buf = {"audio": [], "closest_boat": [], "has_boat": [], "start_idx": []}
+            if buf["audio"]:
+                yield emit()
+            return
+
+        from scipy.io import wavfile
+
+        paths = self.train_paths if mode == "train" else self.validation_paths
+        order = np.arange(len(paths))
+        if shuffle:
+            rng.shuffle(order)
+        for i in order:
+            fname = os.path.split(paths[i])[-1]
+            mask = np.asarray(self.df["filepath"] == fname)
+            dist = self.distance_feature[mask][0]
+            has_boat = bool(self.has_boat_flag[mask][0])
+            audio = wavfile.read(paths[i])[1][5 * SAMPLE_RATE :]
+            push(audio, has_boat, dist)
+            if len(buf["audio"]) >= batch_size:
+                yield emit()
+                buf = {"audio": [], "closest_boat": [], "has_boat": [], "start_idx": []}
+        if buf["audio"]:
+            yield emit()

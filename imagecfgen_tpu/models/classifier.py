@@ -69,6 +69,52 @@ def mnist_oracle_config() -> ClassifierConfig:
     return ClassifierConfig(plan=plan, image_size=(28, 28), n_classes=1)
 
 
+def audio_mnist_classifier_config(num_classes: int = 10, width: float = 1.0) -> ClassifierConfig:
+    """7-conv AudioMNIST attribute classifier over 128^2 spectrograms,
+    parametric over the target attribute including the 60-way ``subject``
+    head (reference ``classifiers/audio_mnist.py:20-42``):
+    128 -> 126 -> 62 -> 60 -> 29 -> 14 -> 6 -> 2, flatten 4096 ->
+    dense 1024 -> dense num_classes. ``width`` scales every channel count
+    (1.0 = reference widths)."""
+    lr = ("lrelu", 0.2)
+    w = lambda c: max(int(c * width), 8)
+    plan = (
+        ("conv", w(32), 3, 1, 0), lr,
+        ("conv", w(64), 3, 2, 0), lr,
+        ("conv", w(128), 3, 1, 0), lr,
+        ("conv", w(256), 3, 2, 0), lr,
+        ("conv", w(512), 3, 2, 0), lr,
+        ("conv", w(1024), 3, 2, 0), lr,
+        ("conv", w(1024), 3, 2, 0), lr,
+        ("flatten",),
+        ("dense", w(1024)), lr,
+        ("dense", num_classes),
+    )
+    return ClassifierConfig(plan=plan, image_size=(128, 128), n_classes=num_classes)
+
+
+def narw_classifier_config(num_classes: int = 3, width: float = 1.0) -> ClassifierConfig:
+    """8-conv NARW call-type classifier over 256^2 spectrograms
+    (reference ``classifiers/whalecalls.py:228-254``); ``width`` scales
+    channel counts (1.0 = reference widths)."""
+    lr = ("lrelu", 0.2)
+    w = lambda c: max(int(c * width), 8)
+    plan = (
+        ("conv", w(32), 3, 1, 0), lr,
+        ("conv", w(64), 3, 2, 0), lr,
+        ("conv", w(128), 3, 1, 0), lr,
+        ("conv", w(256), 3, 2, 0), lr,
+        ("conv", w(512), 3, 2, 0), lr,
+        ("conv", w(1024), 3, 2, 0), lr,
+        ("conv", w(1024), 3, 2, 0), lr,
+        ("conv", w(1024), 3, 2, 0), lr,
+        ("flatten",),
+        ("dense", w(1024)), lr,
+        ("dense", num_classes),
+    )
+    return ClassifierConfig(plan=plan, image_size=(256, 256), n_classes=num_classes)
+
+
 @dataclasses.dataclass(frozen=True)
 class AutoEncoderConfig:
     latent_dim: int = 100

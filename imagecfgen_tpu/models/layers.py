@@ -71,6 +71,9 @@ class PlanSequential(nn.Module):
                     f"{kind}_{conv_i}_bias", nn.initializers.zeros, (feats,), jnp.float32
                 )
                 kernel = kernel.astype(self.compute_dtype)
+                bias = bias.astype(self.compute_dtype)
+                # activations stay in the compute dtype end to end (bf16
+                # halves HBM traffic; the MXU accumulates f32 internally)
                 if kind == "conv":
                     x = conv2d(x, kernel, s, p) + bias
                 else:

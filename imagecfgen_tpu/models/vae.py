@@ -144,3 +144,27 @@ def mnist_vae_config(latent_dim: int = 512, compute_dtype: Any = jnp.float32) ->
     (``deepscm_vae/training_utils.py:30-35``: N(0, 1e-4))."""
     cfg = mnist_bigan_config(latent_dim=latent_dim, compute_dtype=compute_dtype)
     return dataclasses.replace(cfg, init_std=1e-4)
+
+
+def audio_mnist_vae_config(
+    d: int = 64, latent_dim: int = 512, compute_dtype: Any = jnp.float32
+) -> BiGANConfig:
+    """128^2 AudioMNIST VAE (``deepscm_vae/audio_mnist.py:176-321``):
+    the audio BiGAN trunk + 1x1 mean / log-var heads; fixed observation
+    log-variance -5 handled by :class:`ConditionalVAE`."""
+    from .bigan import audio_mnist_bigan_config
+
+    cfg = audio_mnist_bigan_config(d=d, latent_dim=latent_dim, compute_dtype=compute_dtype)
+    return dataclasses.replace(cfg, init_std=1e-4)
+
+
+def whale_vae_config(
+    d: int = 64, latent_dim: int = 512, compute_dtype: Any = jnp.float32
+) -> BiGANConfig:
+    """256^2 whale-call VAE (``deepscm_vae/whalecalls.py:342-370``; its
+    diagonal-Normal base with ``.sum(1)`` equals the MVN form used by the
+    other domains, so one ELBO implementation covers all three)."""
+    from .bigan import whale_bigan_config
+
+    cfg = whale_bigan_config(d=d, latent_dim=latent_dim, compute_dtype=compute_dtype)
+    return dataclasses.replace(cfg, init_std=1e-4)

@@ -38,9 +38,16 @@ def conv2d(
     w: jnp.ndarray,
     stride: IntOr2 = 1,
     padding: IntOr2 = 0,
-    accum_dtype=jnp.float32,
+    accum_dtype=None,
 ) -> jnp.ndarray:
-    """``y[n,h,w,o] = sum_{dh,dw,i} x[n, h*s+dh-p, w*s+dw-p, i] * w[dh,dw,i,o]``."""
+    """``y[n,h,w,o] = sum_{dh,dw,i} x[n, h*s+dh-p, w*s+dw-p, i] * w[dh,dw,i,o]``.
+
+    ``accum_dtype=None`` keeps the output in the input dtype (the MXU still
+    accumulates partials in f32 internally); forcing a wider output dtype
+    breaks the conv transpose rule under autodiff with bf16 inputs (the
+    cotangent arrives in the output dtype and the backward convs would mix
+    dtypes).
+    """
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     return lax.conv_general_dilated(
@@ -59,7 +66,7 @@ def conv_transpose2d(
     stride: IntOr2 = 1,
     padding: IntOr2 = 0,
     output_padding: IntOr2 = 0,
-    accum_dtype=jnp.float32,
+    accum_dtype=None,
 ) -> jnp.ndarray:
     """Transposed conv, output size ``(i-1)*s - 2p + k + output_padding``.
 

@@ -56,3 +56,6 @@ if __name__ == "__main__":
             cf_effectiveness_score(engine, clf_fn, xb, ab, k, mc_rounds=args.mc_rounds)
         )
     print(f"cf digit accuracy: {float(np.mean(scores)):.4f}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

@@ -53,3 +53,6 @@ if __name__ == "__main__":
     labels = ["x", "G(E(x,c),c)", f"do({args.attr}+{args.delta:g})"]
     save_grid_png(args.output, rows, labels, title=f"do({args.attr} + {args.delta:g})")
     print(f"saved {args.output}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

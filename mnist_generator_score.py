@@ -32,3 +32,6 @@ if __name__ == "__main__":
     )
     acc = generator_score(gen_fn, clf_fn, scm, scaler, jax.random.PRNGKey(args.seed), n=args.n)
     print(f"generated-sample digit accuracy: {acc:.4f}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

@@ -38,3 +38,6 @@ if __name__ == "__main__":
 
     save_grid_png(args.output, rows, labels, title="Reconstructions")
     print(f"saved {args.output}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

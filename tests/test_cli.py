@@ -7,8 +7,10 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 SCRIPTS = [
+    # dataset synthesis
     "create_train_dataset.py",
     "create_test_dataset.py",
+    # MNIST training / finetuning
     "train_mnist_image_scm.py",
     "train_mnist_attribute_scm.py",
     "train_mnist_vae.py",
@@ -16,12 +18,51 @@ SCRIPTS = [
     "train_morphomnist_oracles.py",
     "train_morphomnist_ae.py",
     "finetune_mnist_bigan.py",
+    # MNIST counterfactuals / evaluation
     "mnist_gan_counterfactuals.py",
     "mnist_bigan_score.py",
     "mnist_vae_score.py",
     "mnist_generator_score.py",
     "mnist_vae_generator_score.py",
     "mnist_reconstructions.py",
+    "mnist_gan_measured_cf.py",
+    "mnist_vae_measured_cf.py",
+    "mnist_vae_counterfactuals.py",
+    "causal_graph_cf.py",
+    "display_thickness.py",
+    "make_mnist_cf_matrix.py",
+    "show_cf_matrix.py",
+    "mnist_cf_explain.py",
+    "mnist_cf_comparisons.py",
+    "uncertainty_evolution.py",
+    "cf_automatic_mix.py",
+    "mnist_mix_vae_gui.py",
+    "morphomnist_cf_metrics.py",
+    "mnist_oracle_scores.py",
+    "morphomnist_attribute_shap.py",
+    # AudioMNIST
+    "train_audio_mnist_bigan.py",
+    "train_audio_mnist_attribute_scm.py",
+    "train_audio_mnist_clf.py",
+    "train_audio_mnist_vae.py",
+    "train_audio_gan.py",
+    "finetune_audio_mnist_bigan.py",
+    "audiomnist_generate.py",
+    "audiomnist_bigan_score.py",
+    "audiomnist_vae_score.py",
+    "audiomnist_generator_score.py",
+    "audiomnist_vae_generator_score.py",
+    "audiomnist_cf_eval.py",
+    "audiomnist_cf_classifier_metric.py",
+    "audio_mnist_reconstruction.py",
+    # whale / ESRF
+    "train_whale_bigan.py",
+    "train_whale_clf.py",
+    "train_whale_vae.py",
+    "finetune_whale_bigan.py",
+    "whale_cf_score.py",
+    "whale_generator_score.py",
+    "train_esrf_bigan.py",
 ]
 
 

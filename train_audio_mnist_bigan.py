@@ -1,0 +1,72 @@
+"""Train the AudioMNIST spectrogram BiGAN.
+
+The reference exposes this only as ``image_scms.audio_mnist.train()``
+(``image_scms/audio_mnist.py:321-482``; no dedicated script — checkpoints
+like ``audio-mnist-retrain.tar`` are referenced by the eval scripts). Same
+semantics here with an explicit entry point: spectrogram-stats pass, the
+clip(+-3 std)/3 normalisation, Adam(0.5, 0.9), VALIDATION_RUNS held out —
+but spectrograms are computed once on device and the whole epoch is one
+jitted scan.
+"""
+from argparse import ArgumentParser
+import os
+import time
+
+parser = ArgumentParser()
+parser.add_argument("--zip-path", type=str, default=None,
+                    help="AudioMNIST zip; synthetic stand-in when absent")
+parser.add_argument("--steps", type=int, default=200, help="epochs")
+parser.add_argument("--batch-size", type=int, default=128)
+parser.add_argument("--l-rate", type=float, default=1e-4)
+parser.add_argument("--output-path", type=str, default="")
+parser.add_argument("--checkpoint-every", type=int, default=10)
+parser.add_argument("--d", type=int, default=64, help="channel multiplier")
+parser.add_argument("--seed", type=int, default=0)
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    import jax
+
+    from imagecfgen_tpu.cli.audio_common import (
+        load_audio_dataset,
+        prepare_training_arrays,
+        save_audio_bigan,
+    )
+    from imagecfgen_tpu.models.bigan import BiGAN, audio_mnist_bigan_config
+    from imagecfgen_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+
+    data = load_audio_dataset(args.zip_path)
+    x, attrs, stats = prepare_training_arrays(data)
+    print(f"training on {len(x)} spectrograms")
+
+    model = BiGAN(audio_mnist_bigan_config(d=args.d))
+    trainer = GANTrainer(
+        model,
+        GANTrainConfig(
+            learning_rate=args.l_rate, betas=(0.5, 0.9),
+            batch_size=args.batch_size, d_updates_per_g_update=1,
+        ),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(args.seed))
+    device_data = trainer.upload_dataset(x, attrs)
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    out = os.path.join(args.output_path or ".", "audio-mnist-bigan.tar")
+    os.makedirs(args.output_path or ".", exist_ok=True)
+    nb = len(x) // args.batch_size
+    for epoch in range(args.steps):
+        t0 = time.time()
+        state, metrics = trainer.fit_epoch(state, device_data, jax.random.fold_in(key, epoch))
+        jax.block_until_ready(metrics)
+        print(
+            f"epoch {epoch + 1}/{args.steps}: D(G(z))={float(metrics['D_score']):.4f} "
+            f"D(E(x))={float(metrics['EG_score']):.4f} "
+            f"({nb / (time.time() - t0):.1f} steps/s)"
+        )
+        if (epoch + 1) % args.checkpoint_every == 0 or (epoch + 1) == args.steps:
+            save_audio_bigan(out, jax.device_get(state), stats, data,
+                             meta={"epoch": epoch + 1, "d": args.d})
+    print(f"saved {out}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

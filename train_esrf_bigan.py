@@ -1,0 +1,102 @@
+"""Train the 512^2 ESRF acoustic BiGAN (successor of
+``train_esrf_bigan.py:17-35`` / ``image_scms/esrf_acoustic.py:263-447``),
+with ``--start-model`` warm start like the reference.
+"""
+from argparse import ArgumentParser
+import os
+import time
+
+parser = ArgumentParser()
+parser.add_argument("--wav-dir", type=str, default=None)
+parser.add_argument("--label-csv", type=str, default=None)
+parser.add_argument("--steps", type=int, default=200, help="epochs")
+parser.add_argument("--batch-size", type=int, default=16)
+parser.add_argument("--l-rate", type=float, default=1e-4)
+parser.add_argument("--output-path", type=str, default="")
+parser.add_argument("--checkpoint-every", type=int, default=5)
+parser.add_argument("--start-model", type=str, default=None)
+parser.add_argument("--d", type=int, default=64)
+parser.add_argument("--max-batches", type=int, default=None,
+                    help="cap data collection (512^2 windows are large)")
+parser.add_argument("--seed", type=int, default=0)
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from imagecfgen_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    from imagecfgen_tpu.data.esrf import EsrfStation
+    from imagecfgen_tpu.models.bigan import BiGAN, esrf_bigan_config
+    from imagecfgen_tpu.ops.spectral import SpectStats
+    from imagecfgen_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+
+    if args.wav_dir and os.path.isdir(args.wav_dir):
+        data = EsrfStation(args.wav_dir, args.label_csv)
+    else:
+        if args.wav_dir:
+            print(f"warning: {args.wav_dir} not found; using the synthetic ESRF stand-in")
+        data = EsrfStation()
+
+    spects, boats, dists = [], [], []
+    for i, batch in enumerate(data.stream(batch_size=32, mode="train")):
+        spects.append(batch["audio"])
+        boats.append(batch["has_boat"])
+        dists.append(batch["closest_boat"])
+        if args.max_batches and i + 1 >= args.max_batches:
+            break
+    spects = np.concatenate(spects, axis=0)
+    stats = SpectStats.compute(jnp.asarray(spects))
+    x = np.asarray(stats.spect_to_img(jnp.asarray(spects)))[..., None].astype(np.float32)
+    attrs = {
+        "has_boat": np.concatenate(boats, axis=0).astype(np.float32),
+        "closest_boat": np.concatenate(dists, axis=0).astype(np.float32),
+    }
+    print(f"training on {len(x)} 512x512 windows")
+
+    model = BiGAN(esrf_bigan_config(d=args.d))
+    trainer = GANTrainer(
+        model,
+        GANTrainConfig(learning_rate=args.l_rate, betas=(0.5, 0.9),
+                       batch_size=args.batch_size),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(args.seed))
+    if args.start_model:
+        tree, _ = load_checkpoint(args.start_model)
+        state = state.replace(
+            params_E=tree["params_E"], params_G=tree["params_G"], vars_D=tree["vars_D"]
+        )
+        print(f"warm-started from {args.start_model}")
+
+    device_data = trainer.upload_dataset(x, attrs)
+    key = jax.random.PRNGKey(args.seed + 1)
+    out = os.path.join(args.output_path or ".", "esrf-bigan.tar")
+    os.makedirs(args.output_path or ".", exist_ok=True)
+    nb = max(len(x) // args.batch_size, 1)
+    for epoch in range(args.steps):
+        t0 = time.time()
+        state, metrics = trainer.fit_epoch(state, device_data, jax.random.fold_in(key, epoch))
+        jax.block_until_ready(metrics)
+        print(
+            f"epoch {epoch + 1}/{args.steps}: D(G(z))={float(metrics['D_score']):.4f} "
+            f"D(E(x))={float(metrics['EG_score']):.4f} "
+            f"({nb / (time.time() - t0):.1f} steps/s)"
+        )
+        if (epoch + 1) % args.checkpoint_every == 0 or (epoch + 1) == args.steps:
+            st = jax.device_get(state)
+            save_checkpoint(
+                out,
+                {
+                    "params_E": st.params_E, "params_G": st.params_G,
+                    "vars_D": st.vars_D, "opt_eg": st.opt_eg, "opt_d": st.opt_d,
+                    "step": st.step,
+                    "spect_mean": np.asarray(stats.mean),
+                    "spect_std": np.asarray(stats.std),
+                },
+                meta={"kind": "bigan-esrf", "epoch": epoch + 1},
+            )
+    print(f"saved {out}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

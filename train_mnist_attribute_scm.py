@@ -53,3 +53,6 @@ if __name__ == "__main__":
     fig.tight_layout()
     fig.savefig(os.path.join(args.output_path or ".", "attribute-scm-hists.png"))
     print("saved attribute-scm-hists.png")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

@@ -55,3 +55,6 @@ if __name__ == "__main__":
     os.makedirs(args.output_path or ".", exist_ok=True)
     save_checkpoint(out, {"params": jax.device_get(state.params)}, meta={"kind": "mnist-clf"})
     print(f"saved {out}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

@@ -111,3 +111,6 @@ if __name__ == "__main__":
             save_bigan(ckpt_path, jax.device_get(state), scaler, meta={"epoch": epoch + 1})
 
     print(f"saved {ckpt_path}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

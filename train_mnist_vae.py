@@ -87,3 +87,6 @@ if __name__ == "__main__":
                 meta={"kind": "vae-mnist", "epoch": epoch + 1},
             )
     print(f"saved {out}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

@@ -54,3 +54,6 @@ if __name__ == "__main__":
     save_checkpoint(out, {"params": jax.device_get(state.params)},
                     meta={"kind": "mnist-ae", "cls": args.cls})
     print(f"saved {out}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

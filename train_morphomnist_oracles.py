@@ -52,3 +52,6 @@ if __name__ == "__main__":
         save_checkpoint(out, {"params": jax.device_get(state.params)},
                         meta={"kind": "mnist-oracle", "digit": d})
         print(f"oracle {d}: train acc {acc:.4f} -> {out}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

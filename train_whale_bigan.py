@@ -1,0 +1,75 @@
+"""Train the 256^2 whale-call BiGAN (successor of
+``image_scms.whalecalls.train`` / ``finetune_whale_bigan.py``'s base model;
+supports ``--start-model`` warm start like the ESRF trainer)."""
+from argparse import ArgumentParser
+import os
+import time
+
+parser = ArgumentParser()
+parser.add_argument("--nocall-dir", type=str, default=None)
+parser.add_argument("--shotgun-dir", type=str, default=None)
+parser.add_argument("--upcall-dir", type=str, default=None)
+parser.add_argument("--steps", type=int, default=200, help="epochs")
+parser.add_argument("--batch-size", type=int, default=32)
+parser.add_argument("--l-rate", type=float, default=1e-4)
+parser.add_argument("--filter-length", type=int, default=None)
+parser.add_argument("--output-path", type=str, default="")
+parser.add_argument("--checkpoint-every", type=int, default=10)
+parser.add_argument("--start-model", type=str, default=None)
+parser.add_argument("--d", type=int, default=64)
+parser.add_argument("--seed", type=int, default=0)
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    import jax
+
+    from imagecfgen_tpu.cli.whale_common import (
+        collect_whale_arrays,
+        load_whale_bigan,
+        load_whale_dataset,
+        save_whale_bigan,
+    )
+    from imagecfgen_tpu.models.bigan import BiGAN, whale_bigan_config
+    from imagecfgen_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+
+    data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir,
+                              filter_length=args.filter_length)
+    x, calls, stats = collect_whale_arrays(data, "train")
+    attrs = {"call_type": calls}
+    print(f"training on {len(x)} spectrogram windows")
+
+    model = BiGAN(whale_bigan_config(d=args.d))
+    trainer = GANTrainer(
+        model,
+        GANTrainConfig(learning_rate=args.l_rate, betas=(0.5, 0.9),
+                       batch_size=args.batch_size),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(args.seed))
+    if args.start_model:
+        tree, stats, _ = load_whale_bigan(args.start_model)
+        state = state.replace(
+            params_E=tree["params_E"], params_G=tree["params_G"], vars_D=tree["vars_D"]
+        )
+        print(f"warm-started from {args.start_model}")
+
+    device_data = trainer.upload_dataset(x, attrs)
+    key = jax.random.PRNGKey(args.seed + 1)
+    out = os.path.join(args.output_path or ".", "whale-bigan.tar")
+    os.makedirs(args.output_path or ".", exist_ok=True)
+    nb = max(len(x) // args.batch_size, 1)
+    for epoch in range(args.steps):
+        t0 = time.time()
+        state, metrics = trainer.fit_epoch(state, device_data, jax.random.fold_in(key, epoch))
+        jax.block_until_ready(metrics)
+        print(
+            f"epoch {epoch + 1}/{args.steps}: D(G(z))={float(metrics['D_score']):.4f} "
+            f"D(E(x))={float(metrics['EG_score']):.4f} "
+            f"({nb / (time.time() - t0):.1f} steps/s)"
+        )
+        if (epoch + 1) % args.checkpoint_every == 0 or (epoch + 1) == args.steps:
+            save_whale_bigan(out, jax.device_get(state), stats,
+                             meta={"epoch": epoch + 1, "d": args.d})
+    print(f"saved {out}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()

@@ -1,0 +1,89 @@
+"""Train the 256^2 whale-call conditional VAE (successor of
+``train_whale_vae.py`` / ``deepscm_vae/whalecalls.py``)."""
+from argparse import ArgumentParser
+import os
+import time
+
+parser = ArgumentParser()
+parser.add_argument("--nocall-dir", type=str, default=None)
+parser.add_argument("--shotgun-dir", type=str, default=None)
+parser.add_argument("--upcall-dir", type=str, default=None)
+parser.add_argument("--steps", type=int, default=200, help="epochs")
+parser.add_argument("--batch-size", type=int, default=32)
+parser.add_argument("--l-rate", type=float, default=1e-4)
+parser.add_argument("--num-samples-per-step", type=int, default=4)
+parser.add_argument("--kl-weight", type=float, default=1.0)
+parser.add_argument("--output-path", type=str, default="")
+parser.add_argument("--checkpoint-every", type=int, default=10)
+parser.add_argument("--seed", type=int, default=0)
+
+if __name__ == "__main__":
+    args = parser.parse_args()
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imagecfgen_tpu.cli.whale_common import collect_whale_arrays, load_whale_dataset
+    from imagecfgen_tpu.core.checkpoint import save_checkpoint
+    from imagecfgen_tpu.models.vae import ConditionalVAE, whale_vae_config
+    from imagecfgen_tpu.parallel.mesh import DATA_AXIS
+    from imagecfgen_tpu.train.vae_trainer import VAETrainConfig, VAETrainer
+
+    data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir)
+    x, calls, stats = collect_whale_arrays(data, "train")
+
+    model = ConditionalVAE(whale_vae_config())
+    trainer = VAETrainer(
+        model,
+        VAETrainConfig(learning_rate=args.l_rate, batch_size=args.batch_size,
+                       num_samples_per_step=args.num_samples_per_step,
+                       kl_weight=args.kl_weight),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(args.seed))
+
+    sh = NamedSharding(trainer.mesh, P(DATA_AXIS))
+    repl = NamedSharding(trainer.mesh, P())
+    device_data = jax.tree_util.tree_map(
+        lambda v: jax.device_put(np.asarray(v), sh),
+        {"image": x, "attrs": {"call_type": calls}},
+    )
+    nb = max(len(x) // args.batch_size, 1)
+    n_use = nb * args.batch_size
+
+    def epoch_fn(state, d, k):
+        perm = jax.random.permutation(k, d["image"].shape[0])[:n_use]
+        batches = jax.tree_util.tree_map(
+            lambda v: v[perm].reshape((nb, args.batch_size) + v.shape[1:]), d
+        )
+        state, metrics = jax.lax.scan(trainer.train_step, state, batches)
+        return state, jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+
+    epoch_jit = jax.jit(epoch_fn, in_shardings=(repl, sh, repl),
+                        out_shardings=(repl, repl), donate_argnums=(0,))
+    state = jax.device_put(state, repl)
+    key = jax.random.PRNGKey(args.seed + 1)
+
+    out = os.path.join(args.output_path or ".", "whale-vae.tar")
+    os.makedirs(args.output_path or ".", exist_ok=True)
+    for epoch in range(args.steps):
+        t0 = time.time()
+        state, metrics = epoch_jit(state, device_data, jax.random.fold_in(key, epoch))
+        jax.block_until_ready(metrics)
+        print(
+            f"epoch {epoch + 1}/{args.steps}: -elbo={float(metrics['neg_elbo']):.2f} "
+            f"({nb / (time.time() - t0):.1f} steps/s)"
+        )
+        if (epoch + 1) % args.checkpoint_every == 0 or (epoch + 1) == args.steps:
+            save_checkpoint(
+                out,
+                {
+                    "params": jax.device_get(state.params),
+                    "spect_mean": np.asarray(stats.mean),
+                    "spect_std": np.asarray(stats.std),
+                },
+                meta={"kind": "vae-whale", "epoch": epoch + 1},
+            )
+    print(f"saved {out}")
+
+    from imagecfgen_tpu.cli.common import clean_exit
+    clean_exit()
