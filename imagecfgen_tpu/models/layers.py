@@ -54,10 +54,47 @@ class PlanSequential(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        import os
+
+        use_pallas = os.environ.get("IMAGECFGEN_PALLAS", "1") != "0"
         x = x.astype(self.compute_dtype)
         conv_i = bn_i = dense_i = 0
-        for op in self.plan:
+        skip_next = False
+        for idx, op in enumerate(self.plan):
+            if skip_next:
+                skip_next = False
+                continue
             kind = op[0]
+            # peephole: dense followed by lrelu -> Pallas fused matmul with
+            # the bias+activation epilogue in the output tiles (falls back
+            # to XLA off-TPU / on unaligned shapes)
+            if (
+                kind == "dense"
+                and use_pallas
+                and idx + 1 < len(self.plan)
+                and self.plan[idx + 1][0] == "lrelu"
+            ):
+                from ..ops.pallas.fused_dense import fused_dense_lrelu
+
+                feats = op[1]
+                kernel = self.param(
+                    f"dense_{dense_i}_kernel",
+                    nn.initializers.lecun_normal(),
+                    (x.shape[-1], feats),
+                    jnp.float32,
+                )
+                bias = self.param(
+                    f"dense_{dense_i}_bias", nn.initializers.zeros, (feats,), jnp.float32
+                )
+                x = fused_dense_lrelu(
+                    x.astype(self.compute_dtype),
+                    kernel.astype(self.compute_dtype),
+                    bias.astype(self.compute_dtype),
+                    self.plan[idx + 1][1],
+                )
+                dense_i += 1
+                skip_next = True
+                continue
             if kind == "conv" or kind == "convT":
                 feats, k, s, p = op[1], op[2], op[3], op[4]
                 kh, kw = (k, k) if isinstance(k, int) else k
@@ -100,11 +137,21 @@ class PlanSequential(nn.Module):
             elif kind == "drop":
                 x = nn.Dropout(rate=op[1], deterministic=not train)(x)
             elif kind == "dense":
-                x = nn.Dense(
-                    op[1],
-                    dtype=self.compute_dtype,
-                    name=f"dense_{dense_i}",
-                )(x)
+                # same param naming as the fused path so the checkpoint
+                # layout is independent of the IMAGECFGEN_PALLAS toggle
+                kernel = self.param(
+                    f"dense_{dense_i}_kernel",
+                    nn.initializers.lecun_normal(),
+                    (x.shape[-1], op[1]),
+                    jnp.float32,
+                )
+                bias = self.param(
+                    f"dense_{dense_i}_bias", nn.initializers.zeros, (op[1],), jnp.float32
+                )
+                x = (
+                    jnp.dot(x, kernel.astype(self.compute_dtype))
+                    + bias.astype(self.compute_dtype)
+                )
                 dense_i += 1
             elif kind == "flatten":
                 x = x.reshape((x.shape[0], -1))
@@ -158,7 +205,11 @@ class AttributeChannels(nn.Module):
             )
             idx = jnp.argmax(attrs[a.name], axis=-1)
             m = emb(idx).reshape((b, *self.embed_hw, 1))
-            m = jax.image.resize(m, (b, h, w, 1), method="nearest")
+            # nearest upsample with torch semantics (out[i] = in[floor(i*S/T)])
+            eh, ew = self.embed_hw
+            rows = (jnp.arange(h) * eh) // h
+            cols = (jnp.arange(w) * ew) // w
+            m = m[:, rows][:, :, cols]
             chans.append(jnp.tanh(m).astype(self.compute_dtype))
         for a in self.spec.continuous:
             v = attrs[a.name].reshape((b, 1, 1, 1)).astype(self.compute_dtype)

@@ -34,6 +34,28 @@ def _binary_erosion(img: np.ndarray, footprint: np.ndarray) -> np.ndarray:
     return ndi.binary_erosion(img, structure=footprint.astype(bool))
 
 
+def disk_dilation(img: np.ndarray, radius: float) -> np.ndarray:
+    """Binary dilation by a Euclidean disk via the distance transform:
+    dilation(img, disk(r)) == {p : EDT(~img)(p) <= r} exactly (both are the
+    set of points within distance r of the foreground). O(N) instead of
+    O(N * |disk|) — the naive structuring-element dilation dominates
+    dataset-synthesis time at the reference's 16x upscale (448^2 images
+    with radii of tens of pixels)."""
+    img = np.asarray(img, bool)
+    if radius <= 0:
+        return img.copy()
+    return ndi.distance_transform_edt(~img) <= radius
+
+
+def disk_erosion(img: np.ndarray, radius: float) -> np.ndarray:
+    """Binary erosion by a Euclidean disk: erosion(img, disk(r)) ==
+    {p in img : EDT to background > r}."""
+    img = np.asarray(img, bool)
+    if radius <= 0:
+        return img.copy()
+    return ndi.distance_transform_edt(img) > radius
+
+
 def _grey_dilation(img: np.ndarray, footprint: np.ndarray) -> np.ndarray:
     """Grey dilation with a *weighted* (anti-aliased) disk: the reference
     dilates a binary image with a fractional-valued disk obtained by
@@ -64,7 +86,7 @@ class Thinning(Perturbation):
 
     def __call__(self, morph: ImageMorphology) -> np.ndarray:
         radius = int(self.amount * morph.scale * morph.mean_thickness / 2.0)
-        return _binary_erosion(morph.binary_image, disk(radius))
+        return disk_erosion(morph.binary_image, radius)
 
 
 class Thickening(Perturbation):
@@ -75,7 +97,7 @@ class Thickening(Perturbation):
 
     def __call__(self, morph: ImageMorphology) -> np.ndarray:
         radius = int(self.amount * morph.scale * morph.mean_thickness / 2.0)
-        return _binary_dilation(morph.binary_image, disk(radius))
+        return disk_dilation(morph.binary_image, radius)
 
 
 class Deformation(Perturbation):
@@ -189,11 +211,8 @@ class SetThickness(Perturbation):
     def __call__(self, morph: ImageMorphology) -> np.ndarray:
         delta = self.target_thickness - morph.mean_thickness
         radius = int(morph.scale * abs(delta) / 2.0)
-        if radius not in self._disk_cache:
-            self._disk_cache[radius] = _soft_disk(radius) > 0.5
-        d = self._disk_cache[radius]
         img = morph.binary_image
-        return _binary_dilation(img, d) if delta >= 0 else _binary_erosion(img, d)
+        return disk_dilation(img, radius) if delta >= 0 else disk_erosion(img, radius)
 
 
 class SetIntensity(Perturbation):

@@ -102,6 +102,44 @@ class SupervisedTrainer:
             self._epoch_fn = self._build_epoch_fn()
         return self._epoch_fn(state, batches)
 
+    # -------------------------------------------------- device-resident fit
+
+    def upload_dataset(self, x, y):
+        """Place (x, y) on the mesh once, sharded over the data axis —
+        preferred over per-epoch host batches (no repeated host->device
+        traffic; shuffling happens on device)."""
+        sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        return {
+            "x": jax.device_put(np.asarray(x), sh),
+            "y": jax.device_put(np.asarray(y), sh),
+        }
+
+    def _build_fit_epoch_fn(self, batch_size):
+        data_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        repl = NamedSharding(self.mesh, P())
+
+        def epoch(state, data, key):
+            n = data["x"].shape[0]
+            nb = n // batch_size
+            perm = jax.random.permutation(key, n)[: nb * batch_size]
+            batches = jax.tree_util.tree_map(
+                lambda v: v[perm].reshape((nb, batch_size) + v.shape[1:]), data
+            )
+            state, metrics = jax.lax.scan(self.train_step, state, batches)
+            return state, jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+
+        return jax.jit(
+            epoch, in_shardings=(repl, data_sh, repl), out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+
+    def fit_epoch(self, state, data, key):
+        """One epoch over a device-resident dataset from :meth:`upload_dataset`."""
+        if not hasattr(self, "_fit_epoch_fn"):
+            self._fit_epoch_fn = self._build_fit_epoch_fn(self.tcfg.batch_size)
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return self._fit_epoch_fn(state, data, key)
+
     def predict(self, state: SupervisedState, x):
         if self._eval_fn is None:
             self._eval_fn = jax.jit(

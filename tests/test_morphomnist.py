@@ -114,3 +114,47 @@ def test_idx_roundtrip(tmp_path):
         save_idx(data, p)
         back = load_idx(p)
         assert np.array_equal(data, back)
+
+
+def test_edt_morphology_matches_structuring_element():
+    """disk_dilation/disk_erosion (EDT-based, O(N)) must agree exactly with
+    naive structuring-element morphology for Euclidean disks."""
+    from scipy import ndimage as ndi
+
+    from imagecfgen_tpu.morphomnist.perturb import disk_dilation, disk_erosion
+    from imagecfgen_tpu.morphomnist.skeleton import disk
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(64, 64)) > 0.85
+    for r in (1, 3, 7):
+        se = disk(r).astype(bool)
+        assert np.array_equal(
+            disk_dilation(img, r), ndi.binary_dilation(img, structure=se)
+        ), r
+        assert np.array_equal(
+            disk_erosion(img, r), ndi.binary_erosion(img, structure=se)
+        ), r
+
+
+def test_edt_morphology_speed_on_hires():
+    """The EDT path must beat naive SE dilation on a 448^2 image with a
+    large radius (the dataset-synthesis hot case)."""
+    import time
+
+    from scipy import ndimage as ndi
+
+    from imagecfgen_tpu.morphomnist.perturb import disk_dilation
+    from imagecfgen_tpu.morphomnist.skeleton import disk
+
+    rng = np.random.default_rng(1)
+    img = np.zeros((448, 448), bool)
+    img[200:260, 100:350] = True
+    r = 24
+    t0 = time.perf_counter()
+    fast = disk_dilation(img, r)
+    t_fast = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    slow = ndi.binary_dilation(img, structure=disk(r).astype(bool))
+    t_slow = time.perf_counter() - t0
+    assert np.array_equal(fast, slow)
+    assert t_fast < t_slow, (t_fast, t_slow)

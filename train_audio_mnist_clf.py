@@ -36,7 +36,6 @@ if __name__ == "__main__":
     from imagecfgen_tpu.train.clf_trainer import (
         SupervisedTrainConfig,
         SupervisedTrainer,
-        make_supervised_batches,
     )
 
     data = load_audio_dataset(args.zip_path)
@@ -68,10 +67,10 @@ if __name__ == "__main__":
     else:
         yv = v_attrs[args.attribute].argmax(axis=1)
 
-    rng = np.random.default_rng(args.seed)
+    data = trainer.upload_dataset(x, y)
+    key = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs):
-        batches = make_supervised_batches(rng, x, y, args.batch_size)
-        state, metrics = trainer.run_epoch(state, batches)
+        state, metrics = trainer.fit_epoch(state, data, jax.random.fold_in(key, epoch))
         msg = f"epoch {epoch + 1}/{args.epochs}: loss={float(metrics['loss']):.4f}"
         if len(xv) and (epoch + 1) % 5 == 0:
             msg += f" val_acc={trainer.accuracy(state, xv, yv):.4f}"

@@ -25,7 +25,6 @@ if __name__ == "__main__":
     from imagecfgen_tpu.train.clf_trainer import (
         SupervisedTrainConfig,
         SupervisedTrainer,
-        make_supervised_batches,
     )
 
     x, attrs = load_mnist_arrays(args.data_dir, "train")
@@ -42,10 +41,10 @@ if __name__ == "__main__":
     trainer = SupervisedTrainer(clf, SupervisedTrainConfig(batch_size=args.batch_size))
     state = trainer.init_state(jax.random.PRNGKey(args.seed), jnp.zeros((2, 28, 28, 1)))
 
-    rng = np.random.default_rng(args.seed)
+    data = trainer.upload_dataset(x, y)
+    key = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs):
-        batches = make_supervised_batches(rng, x, y, args.batch_size)
-        state, metrics = trainer.run_epoch(state, batches)
+        state, metrics = trainer.fit_epoch(state, data, jax.random.fold_in(key, epoch))
         msg = f"epoch {epoch + 1}/{args.epochs}: loss={float(metrics['loss']):.4f}"
         if x_test is not None and (epoch + 1) % 5 == 0:
             msg += f" val_acc={trainer.accuracy(state, x_test, y_test):.4f}"

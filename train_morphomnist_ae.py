@@ -27,7 +27,6 @@ if __name__ == "__main__":
     from imagecfgen_tpu.train.clf_trainer import (
         SupervisedTrainConfig,
         SupervisedTrainer,
-        make_supervised_batches,
     )
 
     x, attrs = load_mnist_arrays(args.data_dir, "train")
@@ -41,10 +40,10 @@ if __name__ == "__main__":
         ae, SupervisedTrainConfig(batch_size=args.batch_size, loss="mse")
     )
     state = trainer.init_state(jax.random.PRNGKey(args.seed), jnp.zeros((2, 28, 28, 1)))
-    rng = np.random.default_rng(args.seed)
+    data = trainer.upload_dataset(x, x)
+    key = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs):
-        batches = make_supervised_batches(rng, x, x, args.batch_size)
-        state, metrics = trainer.run_epoch(state, batches)
+        state, metrics = trainer.fit_epoch(state, data, jax.random.fold_in(key, epoch))
         if (epoch + 1) % 10 == 0:
             print(f"epoch {epoch + 1}/{args.epochs}: mse={float(metrics['loss']):.5f}")
 

@@ -25,7 +25,6 @@ if __name__ == "__main__":
     from imagecfgen_tpu.train.clf_trainer import (
         SupervisedTrainConfig,
         SupervisedTrainer,
-        make_supervised_batches,
     )
 
     x, attrs = load_mnist_arrays(args.data_dir, "train")
@@ -42,10 +41,10 @@ if __name__ == "__main__":
         state = trainer.init_state(
             jax.random.PRNGKey(args.seed + d), jnp.zeros((2, 28, 28, 1))
         )
-        rng = np.random.default_rng(args.seed + d)
+        data = trainer.upload_dataset(x, y)
+        key = jax.random.PRNGKey(args.seed + 100 + d)
         for epoch in range(args.epochs):
-            batches = make_supervised_batches(rng, x, y, args.batch_size)
-            state, metrics = trainer.run_epoch(state, batches)
+            state, metrics = trainer.fit_epoch(state, data, jax.random.fold_in(key, epoch))
         pred = np.asarray(trainer.predict(state, jnp.asarray(x[:2048]))) > 0
         acc = float((pred[:, 0] == (y[:2048, 0] > 0.5)).mean())
         out = os.path.join(args.output_path or ".", f"oracle-{d}.tar")
