@@ -23,7 +23,7 @@ if __name__ == "__main__":
     from imagecfgen_tpu.models.classifier import CNNClassifier, audio_mnist_classifier_config
     from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
 
-    tree, stats, _ = load_audio_bigan(os.path.join(args.model_dir, "audio-mnist-bigan.tar"))
+    tree, stats, _meta = load_audio_bigan(os.path.join(args.model_dir, "audio-mnist-bigan.tar"))
     scm = load_audio_scm(os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
     ctree, cmeta = load_checkpoint(
         os.path.join(args.model_dir, f"audio-mnist-{args.attribute}-clf.tar")
@@ -31,7 +31,7 @@ if __name__ == "__main__":
     clf = CNNClassifier(audio_mnist_classifier_config(
         CARDINALITIES[args.attribute], width=cmeta.get("width", 1.0)))
     clf_fn = jax.jit(lambda im: clf.apply({"params": ctree["params"]}, im))
-    model = BiGAN(audio_mnist_bigan_config())
+    model = BiGAN(audio_mnist_bigan_config(d=_meta.get("d", 64)))
     G_apply = jax.jit(lambda z, a: model.generator.apply({"params": tree["params_G"]}, z, a))
 
     rng = jax.random.PRNGKey(args.seed)
