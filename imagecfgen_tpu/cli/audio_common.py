@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .common import clean_exit  # installs the CLI excepthook
 from ..core.checkpoint import load_checkpoint, save_checkpoint
 from ..data.audio_mnist import VALIDATION_RUNS, AudioMNISTData
 from ..ops.spectral import SpectStats

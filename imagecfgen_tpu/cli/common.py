@@ -18,16 +18,52 @@ from ..core.checkpoint import load_checkpoint, save_checkpoint
 from ..data.mnist import load_mnist_arrays
 from ..scm.mnist import MNISTAttributeSCM
 
+def _cli_excepthook(exc_type, exc, tb):
+    """Uncaught CLI exceptions print normally, then hard-exit: a crashed
+    TPU client that lingers in interpreter teardown wedges the axon tunnel
+    for the *next* client (observed repeatedly)."""
+    import sys
+    import traceback
+
+    traceback.print_exception(exc_type, exc, tb)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(1)
+
+
+import sys as _sys
+
+_sys.excepthook = _cli_excepthook  # this module is only imported by CLIs
+
+
 def clean_exit(code: int = 0) -> None:
-    """Flush and exit without running interpreter teardown.
+    """Close the device backend, flush, and exit without interpreter
+    teardown.
 
     The axon TPU tunnel's client teardown can deadlock at interpreter exit
     (observed: scripts finish all work, save checkpoints, then hang in
-    atexit; a killed client then wedges the server for minutes). CLI
-    scripts call this after their final save/print.
+    atexit; a killed client then wedges the server for minutes). Closing
+    the PJRT backend explicitly releases the single-tenant device slot so
+    the *next* CLI invocation connects immediately; a watchdog thread hard
+    exits anyway if that close itself wedges.
     """
     import sys
+    import threading
 
+    timer = threading.Timer(15.0, lambda: os._exit(code))
+    timer.daemon = True
+    timer.start()
+    try:
+        import jax
+
+        try:
+            jax.clear_backends()
+        except Exception:
+            from jax.extend import backend as _xb
+
+            _xb.clear_backends()
+    except Exception:
+        pass
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(code)

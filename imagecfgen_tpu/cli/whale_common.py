@@ -7,6 +7,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from .common import clean_exit  # installs the CLI excepthook
 from ..core.checkpoint import load_checkpoint, save_checkpoint
 from ..data.whalecalls import WhaleCallData
 from ..ops.spectral import SpectStats

@@ -143,7 +143,7 @@ class ConvAutoEncoder(nn.Module):
             ("reshape", (4, 4, 128)), lr,
             ("convT", 64, 3, 2, 1), lr,    # 4 -> 7
             ("convT", 32, 4, 2, 1), lr,    # 7 -> 14
-            ("convT", 1, 4, 2, 2),         # 14 -> 28
+            ("convT", 1, 4, 2, 1),         # 14 -> 28
             ("tanh",),
         )
         z = PlanSequential(enc_plan, None, self.cfg.compute_dtype, name="encoder")(

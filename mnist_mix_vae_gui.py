@@ -44,11 +44,11 @@ if __name__ == "__main__":
     ab = {k: jnp.asarray(np.asarray(v)[i : i + 1]) for k, v in attrs.items()}
     key = jax.random.PRNGKey(args.seed)
 
-    def cf_image(t, inten, s):
+    def cf_image(thickness, intensity, slant):
         iv = {
-            "thickness": jnp.asarray([[t]], jnp.float32),
-            "intensity": jnp.asarray([[inten]], jnp.float32),
-            "slant": jnp.asarray([[s]], jnp.float32),
+            "thickness": jnp.asarray([[thickness]], jnp.float32),
+            "intensity": jnp.asarray([[intensity]], jnp.float32),
+            "slant": jnp.asarray([[slant]], jnp.float32),
         }
         img, _ = engine.counterfactual(key, xb, ab, iv)
         return np.asarray(img).reshape(28, 28)

@@ -151,3 +151,13 @@ def test_epoch_batches_sharded_over_mesh():
     batches = make_epoch_batches(rng, x, attrs, batch_size=16)
     state, metrics = trainer.run_epoch(state, batches)
     assert np.isfinite(float(metrics["loss_D"]))
+
+
+def test_autoencoder_shape_roundtrip():
+    from imagecfgen_tpu.models.classifier import AutoEncoderConfig, ConvAutoEncoder
+
+    ae = ConvAutoEncoder(AutoEncoderConfig())
+    x = jnp.zeros((2, 28, 28, 1))
+    v = ae.init({"params": jax.random.PRNGKey(0)}, x)
+    y = ae.apply(v, x)
+    assert y.shape == x.shape

@@ -15,6 +15,7 @@ parser.add_argument("--num-samples-per-step", type=int, default=4)
 parser.add_argument("--kl-weight", type=float, default=1.0)
 parser.add_argument("--output-path", type=str, default="")
 parser.add_argument("--checkpoint-every", type=int, default=10)
+parser.add_argument("--d", type=int, default=64, help="channel multiplier")
 parser.add_argument("--seed", type=int, default=0)
 
 if __name__ == "__main__":
@@ -32,7 +33,7 @@ if __name__ == "__main__":
     data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir)
     x, calls, stats = collect_whale_arrays(data, "train")
 
-    model = ConditionalVAE(whale_vae_config())
+    model = ConditionalVAE(whale_vae_config(d=args.d))
     trainer = VAETrainer(
         model,
         VAETrainConfig(learning_rate=args.l_rate, batch_size=args.batch_size,
@@ -81,7 +82,7 @@ if __name__ == "__main__":
                     "spect_mean": np.asarray(stats.mean),
                     "spect_std": np.asarray(stats.std),
                 },
-                meta={"kind": "vae-whale", "epoch": epoch + 1},
+                meta={"kind": "vae-whale", "epoch": epoch + 1, "d": args.d},
             )
     print(f"saved {out}")
 

@@ -49,8 +49,8 @@ if __name__ == "__main__":
     if args.vae:
         from imagecfgen_tpu.models.vae import ConditionalVAE, whale_vae_config
 
-        vtree, _ = load_checkpoint(os.path.join(args.model_dir, args.vae))
-        vae_bundle = (ConditionalVAE(whale_vae_config()), vtree["params"])
+        vtree, _vmeta = load_checkpoint(os.path.join(args.model_dir, args.vae))
+        vae_bundle = (ConditionalVAE(whale_vae_config(d=_vmeta.get("d", 64))), vtree["params"])
 
     rng = jax.random.PRNGKey(args.seed)
     hits = {m: [0, 0] for m in list(models) + (["vae"] if vae_bundle else [])}
