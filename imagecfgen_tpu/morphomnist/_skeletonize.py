@@ -7,8 +7,9 @@ The per-pixel visit is inherently sequential, so the inner loop runs in C++
 (``native/skeletonize.cpp``) with a pure-python fallback.
 
 Determinism: unlike scikit-image's default (unseeded random tiebreak), the
-tiebreaker here is a fixed seeded permutation so measurements are
-reproducible run-to-run.
+tiebreaker here is splitmix64 of the pixel's linear index — a fixed
+bijection, so the visit order is a strict total order that the batched C++
+engine (``native/morphometry.cpp``) reproduces exactly.
 """
 from __future__ import annotations
 
@@ -22,6 +23,15 @@ from scipy import ndimage as ndi
 
 _NBH_WEIGHTS = np.array([[1, 2, 4], [8, 16, 32], [64, 128, 256]], dtype=np.int32)
 _EIGHT = np.ones((3, 3), dtype=int)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 over a uint64 array — a bijection, so distinct linear
+    indices get distinct tiebreak keys (same constants as the C++ engine)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
 
 def _pattern(index: int) -> np.ndarray:
@@ -100,8 +110,29 @@ def _loop_python(img: np.ndarray, ii, jj, order, table) -> None:
 
 
 def medial_axis(binary: np.ndarray, return_distance: bool = False, seed: int = 0):
-    """Medial-axis skeleton of a 2-D binary image (+ distance map)."""
+    """Medial-axis skeleton of a 2-D binary image (+ distance map).
+
+    Routes through the batched C++ engine when available (identical
+    result — see module docstring); the numpy path below is the fallback
+    and the executable spec."""
     binary = np.ascontiguousarray(binary.astype(bool))
+
+    try:
+        from . import engine
+
+        if engine.native_available():
+            dist, skel, _ = engine.morphometry_batch(
+                binary[None],
+                want_distance=return_distance,
+                want_skeleton=True,
+                want_metrics=False,
+            )
+            if return_distance:
+                return skel[0], dist[0]
+            return skel[0]
+    except Exception:
+        pass
+
     distance = ndi.distance_transform_edt(binary)
 
     table = _removal_table()
@@ -114,8 +145,9 @@ def medial_axis(binary: np.ndarray, return_distance: bool = False, seed: int = 0
     fg = binary
     ii, jj = np.nonzero(fg)
     n = len(ii)
-    rng = np.random.default_rng(seed)
-    tiebreak = rng.permutation(n)
+    tiebreak = _splitmix64(
+        (ii.astype(np.uint64) * np.uint64(binary.shape[1]) + jj.astype(np.uint64))
+    )
     order = np.lexsort((tiebreak, corner_score[fg], distance[fg])).astype(np.int32)
 
     img = np.ascontiguousarray(binary.astype(np.uint8))

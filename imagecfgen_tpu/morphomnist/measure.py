@@ -63,8 +63,20 @@ def measure_batch(
     bound_frac: float = 0.02,
     pool: Optional[multiprocessing.pool.Pool] = None,
     chunksize: int = 100,
+    engine: str = "auto",
 ) -> pd.DataFrame:
+    """``engine="auto"`` uses the threaded C++ batch engine
+    (``morphomnist/engine.py``) when its library builds, falling back to
+    the per-image python path; ``engine="python"`` forces the fallback.
+    Both produce identical values (shared deterministic thinning order)."""
     images = np.asarray(images)
+    if engine == "auto" and pool is None:
+        from . import engine as native_engine
+
+        if native_engine.native_available():
+            return native_engine.measure_batch_native(
+                images, threshold=threshold, scale=scale, bound_frac=bound_frac
+            )
     args = ((img, threshold, scale, bound_frac, False) for img in images)
     gen = map(_measure_unpack, args) if pool is None else pool.imap(
         _measure_unpack, args, chunksize=chunksize

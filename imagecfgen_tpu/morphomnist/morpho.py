@@ -100,13 +100,16 @@ class ImageMorphology:
         return float(2.0 * np.median(self.distance_map[self.skeleton]) / self.scale)
 
     def downscale(self, image) -> np.ndarray:
+        """Amplitude-preserving pyramid reduce. Returns float32 — the
+        perturbation outputs are binary [0, 1] images, and a uint8 cast
+        here would quantise them to {0, 1}/255 (i.e. black)."""
         image = np.asarray(image, dtype=np.float64)
         if self.scale > 1:
             down = pyramid_reduce(image / max(image.max(), 1e-12), self.scale)
-            down = np.clip(down, 0.0, 1.0) * image.max() / 255.0
+            down = np.clip(down, 0.0, 1.0) * image.max()
         else:
-            down = image / 255.0
-        return (255.0 * down).astype(np.uint8)
+            down = image
+        return down.astype(np.float32)
 
 
 class ImageMoments:
@@ -169,11 +172,18 @@ def bounding_parallelogram(img, frac: float, moments: ImageMoments = None):
     shear = moments.horizontal_shear
     total = img.sum()
 
-    # CDF of mass left of a sheared vertical line, per integer offset
+    # CDF of mass left of a sheared vertical line, per integer offset:
+    # hcdf[t] = sum of img where sheared_x < t. Binning each pixel at
+    # floor(sheared_x)+1 (the first integer t strictly greater) and
+    # cumulative-summing is equivalent to the reference's per-t scan in
+    # O(HW) instead of O(W*HW).
     hlocs = np.arange(width)
     sheared_x = x + 0.5 - shear * (y - y_mid)  # compare against t
-    hcdf = np.array([((sheared_x < t) * img).sum() for t in hlocs]) / total
-    vcdf = np.array([((y < t) * img).sum() for t in range(height)]) / total
+    first_t = np.clip(np.floor(sheared_x).astype(np.int64) + 1, 0, width)
+    mass = np.bincount(first_t.ravel(), weights=np.broadcast_to(img, first_t.shape).ravel(), minlength=width + 1)
+    hcdf = np.cumsum(mass)[:width] / total
+    row_mass = img.sum(axis=1)
+    vcdf = np.concatenate([[0.0], np.cumsum(row_mass)[: height - 1]]) / total
 
     frac = frac / 2.0  # two-sided
     left, right = np.interp([frac, 1.0 - frac], hcdf, hlocs)

@@ -158,3 +158,21 @@ def test_edt_morphology_speed_on_hires():
     t_slow = time.perf_counter() - t0
     assert np.array_equal(fast, slow)
     assert t_fast < t_slow, (t_fast, t_slow)
+
+
+def test_synthesized_images_are_not_blank():
+    """Regression: ``ImageMorphology.downscale`` used to cast to uint8,
+    quantising the binary [0, 1] perturbation outputs to black — over
+    half the synthesized dataset had max pixel 0."""
+    from imagecfgen_tpu.data.morphomnist_synth import synthesize_dataset
+    from imagecfgen_tpu.data.synthetic_digits import synthetic_digits
+
+    imgs, labels = synthetic_digits(8, seed=4)
+    x, a = synthesize_dataset(imgs, labels, seed=4, scale=4)
+    per_image_max = x.max(axis=(1, 2))
+    assert (per_image_max > 50.0).all(), per_image_max
+    # median bright intensity lands near the sampled intensity attribute
+    k = 0
+    img = x[k]
+    bright = img[img >= img.min() + (img.max() - img.min()) * 0.5]
+    assert abs(float(np.median(bright)) - a[k, 11]) < 30.0
