@@ -3,15 +3,26 @@ steps/sec and batched counterfactual throughput on this chip.
 
 Prints ONE JSON line. Primary metric: MNIST BiGAN train steps/sec (batch
 64, d_updates_per_g_update=1 — the reference train loop's defaults,
-image_scms/mnist.py:157-167), measured over whole scanned epochs.
-``vs_baseline`` is the ratio to the PyTorch reference's own train loop on
-this host's CPU (the reference publishes no numbers — BASELINE.md — so the
-baseline is measured in-process with the reference module, shimmed only
-for its unused pytorch_msssim import). Extra fields report the AudioMNIST
-BiGAN (128^2, d=64) steps/sec and abduct-act-predict CF images/sec.
+image_scms/mnist.py:157-167), measured over whole scanned epochs with a
+HARD device->host sync barrier (utils.profiling.sync) closing the timed
+region. ``jax.block_until_ready`` is never used for timing: on the axon
+platform it synchronizes dispatch, not execution, and inflates rates
+~100x (round 1's 49k steps/sec was exactly this artifact; the honest
+rate is in the hundreds).
+
+Alongside steps/sec the record reports the XLA cost-analysis FLOPs and
+bytes of one train step, the implied MFU against the chip's bf16 peak,
+and the HBM roofline fraction — at batch 64 this step is memory-bound
+on optimizer/parameter traffic (~0.9 GB/step), so the roofline fraction
+is the hardware-honest utilization number, not MFU (see docs/PERF.md).
+
+``vs_baseline`` is the ratio to the PyTorch reference's own train loop
+on this host's CPU (the reference publishes no numbers — BASELINE.md).
+Extra fields: bf16 batch-256 throughput config, AudioMNIST BiGAN
+(128^2, d=64) steps/sec, and abduct-act-predict CF images/sec.
 
 Set BENCH_SKIP_TORCH=1 to reuse the cached torch baseline;
-BENCH_FAST=1 skips the audio model (for quick smoke runs).
+BENCH_FAST=1 skips the audio model and the throughput config.
 """
 from __future__ import annotations
 
@@ -26,6 +37,20 @@ BATCH = 64
 N_DATA = 4096
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 
+# bf16 peak of the attached chip generation, for the MFU denominator.
+PEAK_FLOPS = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
+HBM_GBPS = {"v4": 1228.0, "v5e": 819.0, "v5p": 2765.0, "v6e": 1640.0}
+
+
+def _chip_gen() -> str:
+    return os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+
+
+def _sync(tree):
+    from imagecfgen_tpu.utils.profiling import sync
+
+    return sync(tree)
+
 
 def _mnist_data(n):
     rng = np.random.default_rng(0)
@@ -39,65 +64,95 @@ def _mnist_data(n):
     return x, attrs
 
 
-def measure_mnist_train() -> float:
+def _step_cost(trainer, state, data, batch):
+    """(flops, bytes) of ONE jitted train step, from the XLA compiler."""
     import jax
 
-    from imagecfgen_tpu.models.bigan import BiGAN, mnist_bigan_config
-    from imagecfgen_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+    b = {
+        "image": data["image"][:batch],
+        "attrs": {k: v[:batch] for k, v in data["attrs"].items()},
+    }
+    try:
+        comp = jax.jit(trainer.train_step).lower(state, b).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"]), float(ca.get("bytes accessed", float("nan")))
+    except Exception as e:  # cost analysis is best-effort
+        print(f"cost_analysis failed: {e!r}", file=sys.stderr)
+        return float("nan"), float("nan")
 
-    x, attrs = _mnist_data(N_DATA)
+
+def _measure_bigan(config, batch, n_data, epochs, betas=(0.5, 0.999)):
+    """Build a BiGAN trainer on synthetic data and time `epochs` epochs,
+    dispatched as a chain and closed with one hard sync. Returns
+    (steps_per_sec, flops_per_step, bytes_per_step)."""
+    import jax
+
+    from imagecfgen_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+    from imagecfgen_tpu.models.bigan import BiGAN
+
+    model, data_fn = config
     trainer = GANTrainer(
-        BiGAN(mnist_bigan_config()),
-        GANTrainConfig(batch_size=BATCH, d_updates_per_g_update=1),
+        BiGAN(model),
+        GANTrainConfig(batch_size=batch, d_updates_per_g_update=1, betas=betas),
     )
+    x, attrs = data_fn(n_data)
     state = trainer.init_state(jax.random.PRNGKey(0))
     data = trainer.upload_dataset(x, attrs)
+    flops, nbytes = _step_cost(trainer, state, data, batch)
     key = jax.random.PRNGKey(1)
     for w in range(2):  # compile + steady warmup
         state, m = trainer.fit_epoch(state, data, jax.random.fold_in(key, w))
-        jax.block_until_ready(m)
+        _sync(m)
     steps = 0
     t0 = time.perf_counter()
-    for e in range(20):
+    for e in range(epochs):
         state, m = trainer.fit_epoch(state, data, jax.random.fold_in(key, 2 + e))
-        steps += N_DATA // BATCH
-    jax.block_until_ready(m)
-    return steps / (time.perf_counter() - t0)
+        steps += n_data // batch
+    loss = _sync(m)  # hard barrier: device->host fetch of the final metrics
+    dt = time.perf_counter() - t0
+    assert loss is not None and np.isfinite(loss), loss
+    return steps / dt, flops, nbytes
 
 
-def measure_audio_train() -> float:
+def measure_mnist_train():
+    """Primary metric: reference-parity config (f32, batch 64)."""
+    from imagecfgen_tpu.models.bigan import mnist_bigan_config
+
+    return _measure_bigan((mnist_bigan_config(), _mnist_data), BATCH, N_DATA, 20)
+
+
+def measure_mnist_throughput():
+    """Secondary throughput config: bf16 compute, batch 256."""
+    import jax.numpy as jnp
+
+    from imagecfgen_tpu.models.bigan import mnist_bigan_config
+
+    return _measure_bigan(
+        (mnist_bigan_config(compute_dtype=jnp.bfloat16), _mnist_data),
+        256, N_DATA, 40,
+    )
+
+
+def measure_audio_train():
     """AudioMNIST BiGAN at full width (d=64), batch 128 (reference default,
     image_scms/audio_mnist.py:321-327)."""
-    import jax
-
-    from imagecfgen_tpu.models.bigan import BiGAN, audio_mnist_bigan_config
+    from imagecfgen_tpu.models.bigan import audio_mnist_bigan_config
     from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
-    from imagecfgen_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
 
-    n, b = 1024, 128
-    rng = np.random.default_rng(0)
-    x = rng.uniform(-1, 1, (n, 128, 128, 1)).astype(np.float32)
-    attrs = {
-        k: np.eye(card, dtype=np.float32)[rng.integers(0, card, n)]
-        for k, card in CARDINALITIES.items()
-    }
-    trainer = GANTrainer(
-        BiGAN(audio_mnist_bigan_config(d=64)),
-        GANTrainConfig(batch_size=b, betas=(0.5, 0.9)),
+    def data_fn(n):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, (n, 128, 128, 1)).astype(np.float32)
+        attrs = {
+            k: np.eye(card, dtype=np.float32)[rng.integers(0, card, n)]
+            for k, card in CARDINALITIES.items()
+        }
+        return x, attrs
+
+    return _measure_bigan(
+        (audio_mnist_bigan_config(d=64), data_fn), 128, 1024, 8, betas=(0.5, 0.9)
     )
-    state = trainer.init_state(jax.random.PRNGKey(0))
-    data = trainer.upload_dataset(x, attrs)
-    key = jax.random.PRNGKey(1)
-    for w in range(2):
-        state, m = trainer.fit_epoch(state, data, jax.random.fold_in(key, w))
-        jax.block_until_ready(m)
-    steps = 0
-    t0 = time.perf_counter()
-    for e in range(8):
-        state, m = trainer.fit_epoch(state, data, jax.random.fold_in(key, 2 + e))
-        steps += n // b
-    jax.block_until_ready(m)
-    return steps / (time.perf_counter() - t0)
 
 
 def measure_cf_throughput() -> float:
@@ -139,12 +194,12 @@ def measure_cf_throughput() -> float:
     ab = {k: jax.device_put(v) for k, v in raw_attrs.items()}
     iv = {"thickness": jax.device_put((t + 2).reshape(-1, 1))}
     out, _ = engine.counterfactual(key, xb, ab, iv)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     reps = 20
     for r in range(reps):
         out, _ = engine.counterfactual(jax.random.fold_in(key, r), xb, ab, iv)
-    jax.block_until_ready(out)
+    _sync(out)
     return b * reps / (time.perf_counter() - t0)
 
 
@@ -229,12 +284,14 @@ def _watchdog(seconds: int):
 
 
 def main():
-    _watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", "900")))
-    ours = measure_mnist_train()  # primary metric: let failures surface
+    _watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", "1500")))
+    gen = _chip_gen()
+    peak = PEAK_FLOPS.get(gen, 197e12)
+    ours, flops, nbytes = measure_mnist_train()  # primary: let failures surface
     cf_ips = _safe(measure_cf_throughput, "cf throughput")
-    audio = None if os.environ.get("BENCH_FAST") else _safe(
-        measure_audio_train, "audio train"
-    )
+    fast = os.environ.get("BENCH_FAST")
+    tput = None if fast else _safe(measure_mnist_throughput, "bf16 throughput")
+    audio = None if fast else _safe(measure_audio_train, "audio train")
     base = measure_torch_baseline()
     ratio = ours / base if base == base else None
     record = {
@@ -245,12 +302,28 @@ def main():
         "baseline": "reference torch train loop, CPU, this host"
         + (f" ({base:.3f} steps/sec)" if base == base else " (unavailable)"),
         "batch_size": BATCH,
-        "device": "tpu",
+        "device": f"tpu-{gen}",
+        "step_time_ms": round(1e3 / ours, 3),
+        "gflops_per_step": round(flops / 1e9, 2) if flops == flops else None,
+        "mfu_pct": round(100 * ours * flops / peak, 1) if flops == flops else None,
+        # XLA cost-analysis operand bytes (overcounts true HBM traffic —
+        # fusion-internal reuse is double-counted; see docs/PERF.md for the
+        # analytic roofline): kept as a diagnostic, not a utilization claim.
+        "cost_bytes_per_step_gb": (
+            round(nbytes / 1e9, 3) if nbytes == nbytes else None
+        ),
+        "sync": "hard device->host fetch (block_until_ready unreliable on axon)",
     }
+    if tput is not None:
+        sps, fl, nb = tput
+        record["bf16_b256_steps_per_sec"] = round(sps, 2)
+        record["bf16_b256_mfu_pct"] = (
+            round(100 * sps * fl / peak, 1) if fl == fl else None
+        )
     if cf_ips is not None:
         record["cf_images_per_sec"] = round(cf_ips, 1)
     if audio is not None:
-        record["audio_bigan_steps_per_sec"] = round(audio, 2)
+        record["audio_bigan_steps_per_sec"] = round(audio[0], 2)
     json.dump(record, open(LAST_GOOD, "w"))
     print(json.dumps(record))
     sys.stdout.flush()

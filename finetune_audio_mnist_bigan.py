@@ -16,6 +16,7 @@ parser.add_argument("--seed", type=int, default=0)
 if __name__ == "__main__":
     args = parser.parse_args()
     import jax
+    from imagecfgen_tpu.utils import profiling
 
     from imagecfgen_tpu.cf.finetune import EncoderFinetuner, FinetuneConfig
     from imagecfgen_tpu.cli.audio_common import (
@@ -42,7 +43,7 @@ if __name__ == "__main__":
     for epoch in range(args.steps):
         t0 = time.time()
         state, metrics = ft.fit_epoch(state, device_data, jax.random.fold_in(key, epoch))
-        jax.block_until_ready(metrics)
+        profiling.sync(metrics)
         print(
             f"epoch {epoch + 1}/{args.steps}: {args.metric}={float(metrics['rec']):.4f} "
             f"latent={float(metrics['latent']):.4f} "

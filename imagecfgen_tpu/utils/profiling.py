@@ -14,6 +14,33 @@ import time
 from typing import Iterator, Optional
 
 
+def sync(tree) -> Optional[float]:
+    """Hard execution barrier: force completion of the computation that
+    produced ``tree`` by copying every array leaf device->host.
+
+    On the experimental 'axon' TPU platform ``jax.block_until_ready``
+    can return before device execution has finished (it synchronizes
+    dispatch, not execution), which silently turns wall-clock timing into
+    dispatch timing — round 1's headline numbers were inflated ~80-100x
+    by exactly this. A device-to-host value fetch is the only reliable
+    barrier there, so every timed region must end with ``sync(result)``,
+    never ``block_until_ready``.
+
+    Returns the first size-1 leaf as a float (convenient for asserting
+    finiteness), else None.
+    """
+    import jax
+    import numpy as np
+
+    out: Optional[float] = None
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "dtype"):
+            host = np.asarray(leaf)
+            if out is None and host.size == 1:
+                out = float(host.reshape(()))
+    return out
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/imagecfgen-trace") -> Iterator[None]:
     """Capture a device trace for the enclosed region:

@@ -24,6 +24,7 @@ parser.add_argument("--seed", type=int, default=0)
 if __name__ == "__main__":
     args = parser.parse_args()
     import jax
+    from imagecfgen_tpu.utils import profiling
     import numpy as np
 
     from imagecfgen_tpu.cli.audio_common import load_audio_dataset, prepare_training_arrays
@@ -57,7 +58,7 @@ if __name__ == "__main__":
     for epoch in range(args.steps):
         t0 = time.time()
         state, metrics = trainer.fit_epoch(state, device_data, jax.random.fold_in(key, epoch))
-        jax.block_until_ready(metrics)
+        profiling.sync(metrics)
         print(
             f"epoch {epoch + 1}/{args.steps}: loss_G={float(metrics['loss_G']):.4f} "
             f"loss_D={float(metrics['loss_D']):.4f} "

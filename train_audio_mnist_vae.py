@@ -20,6 +20,7 @@ parser.add_argument("--seed", type=int, default=0)
 if __name__ == "__main__":
     args = parser.parse_args()
     import jax
+    from imagecfgen_tpu.utils import profiling
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -67,7 +68,7 @@ if __name__ == "__main__":
     for epoch in range(args.steps):
         t0 = time.time()
         state, metrics = epoch_jit(state, device_data, jax.random.fold_in(key, epoch))
-        jax.block_until_ready(metrics)
+        profiling.sync(metrics)
         print(
             f"epoch {epoch + 1}/{args.steps}: -elbo={float(metrics['neg_elbo']):.2f} "
             f"({nb / (time.time() - t0):.1f} steps/s)"

@@ -23,6 +23,7 @@ parser.add_argument("--seed", type=int, default=0)
 if __name__ == "__main__":
     args = parser.parse_args()
     import jax
+    from imagecfgen_tpu.utils import profiling
     import jax.numpy as jnp
     import numpy as np
 
@@ -77,7 +78,7 @@ if __name__ == "__main__":
     for epoch in range(args.steps):
         t0 = time.time()
         state, metrics = trainer.fit_epoch(state, device_data, jax.random.fold_in(key, epoch))
-        jax.block_until_ready(metrics)
+        profiling.sync(metrics)
         print(
             f"epoch {epoch + 1}/{args.steps}: D(G(z))={float(metrics['D_score']):.4f} "
             f"D(E(x))={float(metrics['EG_score']):.4f} "

@@ -26,6 +26,7 @@ parser.add_argument("--seed", type=int, default=0)
 if __name__ == "__main__":
     args = parser.parse_args()
     import jax
+    from imagecfgen_tpu.utils import profiling
     import numpy as np
 
     from imagecfgen_tpu.cli.common import (
@@ -82,7 +83,7 @@ if __name__ == "__main__":
     for epoch in range(start_epoch, args.steps):
         t0 = time.time()
         state, metrics = trainer.fit_epoch(state, data, jax.random.fold_in(key, epoch))
-        jax.block_until_ready(metrics)
+        profiling.sync(metrics)
         dt = time.time() - t0
         n_steps = len(x) // args.batch_size
         print(
