@@ -27,6 +27,8 @@ if __name__ == "__main__":
         load_audio_dataset,
         load_audio_scm,
     )
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.checkpoint import load_checkpoint
     from imagecfgen_tpu.data.audio_mnist import VALIDATION_RUNS
     from imagecfgen_tpu.metrics.scores import resample_excluding

@@ -22,6 +22,8 @@ if __name__ == "__main__":
     import numpy as np
 
     from imagecfgen_tpu.cli.audio_common import load_audio_bigan, load_audio_dataset
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.checkpoint import load_checkpoint
     from imagecfgen_tpu.data.audio_mnist import VALIDATION_RUNS
     from imagecfgen_tpu.models.bigan import BiGAN, audio_mnist_bigan_config

@@ -31,6 +31,8 @@ if __name__ == "__main__":
         load_audio_dataset,
         load_audio_scm,
     )
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.data.audio_mnist import SAMPLE_RATE, audio_from_log_spect
     from imagecfgen_tpu.models.bigan import BiGAN, audio_mnist_bigan_config
     from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES

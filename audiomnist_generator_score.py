@@ -18,6 +18,8 @@ if __name__ == "__main__":
     import numpy as np
 
     from imagecfgen_tpu.cli.audio_common import load_audio_bigan, load_audio_scm
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.checkpoint import load_checkpoint
     from imagecfgen_tpu.models.bigan import BiGAN, audio_mnist_bigan_config
     from imagecfgen_tpu.models.classifier import CNNClassifier, audio_mnist_classifier_config

@@ -16,6 +16,8 @@ if __name__ == "__main__":
     import jax.numpy as jnp
 
     from imagecfgen_tpu.cli.audio_common import load_audio_scm
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.checkpoint import load_checkpoint
     from imagecfgen_tpu.models.classifier import CNNClassifier, audio_mnist_classifier_config
     from imagecfgen_tpu.models.vae import ConditionalVAE, audio_mnist_vae_config

@@ -29,6 +29,8 @@ if __name__ == "__main__":
         save_bigan,
         scale_attrs_np,
     )
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.models.bigan import BiGAN, mnist_bigan_config
 
     x, attrs, scaler = load_mnist_training_data(args.data_dir, "train")

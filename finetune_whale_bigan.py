@@ -27,6 +27,8 @@ if __name__ == "__main__":
         load_whale_dataset,
         save_whale_bigan,
     )
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.models.bigan import BiGAN, whale_bigan_config
 
     data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir)

@@ -31,9 +31,15 @@ def _cli_excepthook(exc_type, exc, tb):
     os._exit(1)
 
 
-import sys as _sys
+def install_cli_excepthook() -> None:
+    """Install the hard-exit excepthook. Called explicitly by CLI entry
+    points only — installing it as an import side effect would silently
+    disable normal exception teardown (atexit handlers, tempfile cleanup,
+    pytest reporting) for library importers like the checkpoint converter
+    and the test suite."""
+    import sys
 
-_sys.excepthook = _cli_excepthook  # this module is only imported by CLIs
+    sys.excepthook = _cli_excepthook
 
 
 def clean_exit(code: int = 0) -> None:
@@ -109,8 +115,17 @@ def save_bigan(path: str, state, scaler: AttributeScaler, meta: Optional[Dict] =
 
 def load_bigan(path: str):
     """Returns (tree dict, scaler)."""
+    import warnings
+
     tree, meta = load_checkpoint(path)
     scaler = AttributeScaler.from_state_dict(MNIST_SPEC, tree["scaler"])
+    if meta.get("scaler_valid") is False:
+        warnings.warn(
+            f"{path} was converted without training data: its attribute "
+            "scaler is an identity placeholder and downstream counterfactuals "
+            "will consume unscaled attributes. Re-convert with --data-dir.",
+            stacklevel=2,
+        )
     return tree, scaler, meta
 
 

@@ -37,7 +37,7 @@ class VAEEncoder(nn.Module):
             cfg.compute_dtype, name="attr_channels",
         )(x, attrs)
         h = PlanSequential(
-            cfg.enc_plan + (("lrelu", 0.2),), cfg.init_std, cfg.compute_dtype,
+            cfg.enc_plan + cfg.vae_trunk_tail, cfg.init_std, cfg.compute_dtype,
             name="trunk",
         )(feats, train=train)
         mean = PlanSequential(
@@ -163,8 +163,10 @@ def whale_vae_config(
 ) -> BiGANConfig:
     """256^2 whale-call VAE (``deepscm_vae/whalecalls.py:342-370``; its
     diagonal-Normal base with ``.sum(1)`` equals the MVN form used by the
-    other domains, so one ELBO implementation covers all three)."""
+    other domains, so one ELBO implementation covers all three). Unlike
+    the MNIST/audio VAEs its encoder trunk has no trailing LeakyReLU
+    (``deepscm_vae/whalecalls.py:249-263``)."""
     from .bigan import whale_bigan_config
 
     cfg = whale_bigan_config(d=d, latent_dim=latent_dim, compute_dtype=compute_dtype)
-    return dataclasses.replace(cfg, init_std=1e-4)
+    return dataclasses.replace(cfg, init_std=1e-4, vae_trunk_tail=())

@@ -201,18 +201,31 @@ def _soft_disk(radius: int, scale: int = 16) -> np.ndarray:
 
 
 class SetThickness(Perturbation):
-    """Dilate/erode the binary digit to a target mean thickness."""
+    """Dilate/erode the binary digit to a target mean thickness.
 
-    _disk_cache: dict = {}
+    The footprint is the nonzero support of the reference's anti-aliased
+    disk cache (``morphomnist/perturb.py:182-187``), which slightly
+    exceeds the exact Euclidean radius — using a bare EDT radius test
+    here would make synthesized-dataset thicknesses differ sub-pixel
+    from reference-generated data."""
+
+    _footprint_cache: dict = {}
 
     def __init__(self, target_thickness: float):
         self.target_thickness = target_thickness
+
+    @classmethod
+    def _footprint(cls, radius: int) -> np.ndarray:
+        if radius not in cls._footprint_cache:
+            cls._footprint_cache[radius] = _soft_disk(radius) > 0
+        return cls._footprint_cache[radius]
 
     def __call__(self, morph: ImageMorphology) -> np.ndarray:
         delta = self.target_thickness - morph.mean_thickness
         radius = int(morph.scale * abs(delta) / 2.0)
         img = morph.binary_image
-        return disk_dilation(img, radius) if delta >= 0 else disk_erosion(img, radius)
+        fp = self._footprint(radius)
+        return _binary_dilation(img, fp) if delta >= 0 else _binary_erosion(img, fp)
 
 
 class SetIntensity(Perturbation):

@@ -77,13 +77,25 @@ def make_spatial_conv(mesh: Mesh, stride: int, padding: int, kernel: int = None)
     """Jitted height-sharded conv over ``mesh`` (axis 'space'):
     inputs sharded P(None, 'space'), weights replicated. When ``kernel``
     is given, the seamless-tiling condition is validated eagerly."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
-    if kernel is not None and stride > 1 and kernel - 2 * padding != stride:
-        raise ValueError(
-            f"conv k={kernel} s={stride} p={padding} does not tile evenly "
-            "across height shards (need kernel - 2*padding == stride)"
-        )
+    if kernel is not None:
+        if stride > 1 and kernel - 2 * padding != stride:
+            raise ValueError(
+                f"conv k={kernel} s={stride} p={padding} does not tile evenly "
+                "across height shards (need kernel - 2*padding == stride)"
+            )
+        if stride == 1 and kernel != 2 * padding + 1:
+            # stride 1 emits H_local rows per shard; that equals a global
+            # conv (H + 2p - k + 1 rows with matching edge padding) only
+            # for odd 'same' kernels. Other shapes would silently disagree.
+            raise ValueError(
+                f"conv k={kernel} s=1 p={padding} does not tile evenly "
+                "across height shards (need kernel == 2*padding + 1)"
+            )
 
     fn = shard_map(
         partial(sharded_conv2d, stride=stride, padding=padding, axis_name=SPACE_AXIS),

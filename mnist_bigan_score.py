@@ -28,6 +28,8 @@ if __name__ == "__main__":
         load_bigan,
         load_mnist_training_data,
     )
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.checkpoint import load_checkpoint
     from imagecfgen_tpu.metrics.scores import cf_effectiveness_score
     from imagecfgen_tpu.models.bigan import BiGAN, mnist_bigan_config

@@ -28,6 +28,8 @@ if __name__ == "__main__":
         save_grid_png,
         scale_attrs_np,
     )
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.checkpoint import load_checkpoint
     from imagecfgen_tpu.models.bigan import BiGAN, mnist_bigan_config
     from imagecfgen_tpu.models.classifier import CNNClassifier, mnist_classifier_config

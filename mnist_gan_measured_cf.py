@@ -31,6 +31,8 @@ if __name__ == "__main__":
         load_bigan,
         load_mnist_training_data,
     )
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.data.morphomnist_synth import GroundTruthSCM
     from imagecfgen_tpu.metrics.measured import (
         images_to_255,

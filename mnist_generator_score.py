@@ -15,6 +15,8 @@ if __name__ == "__main__":
     import jax
 
     from imagecfgen_tpu.cli.common import load_attribute_scm, load_bigan
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.checkpoint import load_checkpoint
     from imagecfgen_tpu.metrics.scores import generator_score
     from imagecfgen_tpu.models.bigan import BiGAN, mnist_bigan_config

@@ -18,6 +18,8 @@ if __name__ == "__main__":
 
     from imagecfgen_tpu.cf.engine import CounterfactualEngine
     from imagecfgen_tpu.cli.common import load_bigan, load_mnist_training_data, save_grid_png
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.models.bigan import BiGAN, mnist_bigan_config
 
     split = "test" if os.path.exists(os.path.join(args.data_dir, "mnist-x-test.npy")) else "train"

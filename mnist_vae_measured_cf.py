@@ -19,6 +19,8 @@ if __name__ == "__main__":
     import numpy as np
 
     from imagecfgen_tpu.cli.common import load_attribute_scm, load_mnist_training_data
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.attributes import AttributeScaler, MNIST_SPEC
     from imagecfgen_tpu.core.checkpoint import load_checkpoint
     from imagecfgen_tpu.data.morphomnist_synth import GroundTruthSCM

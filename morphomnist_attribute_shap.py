@@ -33,6 +33,8 @@ if __name__ == "__main__":
         load_mnist_training_data,
         scale_attrs_np,
     )
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.attributes import pack_mnist_attrs
     from imagecfgen_tpu.core.checkpoint import load_checkpoint
     from imagecfgen_tpu.models.bigan import BiGAN, mnist_bigan_config

@@ -35,4 +35,6 @@ if __name__ == "__main__":
     print("ok")
 
     from imagecfgen_tpu.cli.common import clean_exit
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     clean_exit()

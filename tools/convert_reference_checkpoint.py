@@ -8,6 +8,36 @@ models are drop-in usable:
     python tools/convert_reference_checkpoint.py \
         --kind mnist-bigan --input mnist-bigan.tar --output mnist-bigan.tar
 
+Supported kinds (reference save/load sites cited):
+
+- ``mnist-bigan``      image_scms/mnist.py:302-313 (state-dict) and
+                       train_mnist_image_scm.py:61-67 (whole-module)
+- ``audio-bigan``      audiomnist_bigan_score.py:33-37
+- ``whale-bigan``      whale_cf_score.py:13-15 (whale_bigan1.tar)
+- ``esrf-bigan``       train_esrf_bigan.py / esrf_acoustic.py:280-284
+- ``mnist-vae``        train_mnist_vae.py:59-61 ({'vae': module})
+- ``audio-vae``        audiomnist_vae_score.py:30
+- ``whale-vae``        whale_cf_score.py:17
+- ``mnist-clf``        train_mnist_clf.py:25-27 ({'clf'|'model'})
+- ``morphomnist-oracle`` train_morphomnist_oracles.py:71-73 ({'oracle'})
+- ``audio-clf``        classifiers/audio_mnist.py:198 ({'model'}); pass
+                       ``--attribute`` (digit/gender/... or subject)
+- ``whale-clf``        whale_cf_score.py:18 ({'clf'})
+
+Security note: state-dict checkpoints load with
+``torch.load(weights_only=True)``. Whole-module checkpoints are arbitrary
+pickles — loading them **executes code from the file**; the tool falls
+back to ``weights_only=False`` only after the safe path fails, prints a
+prominent warning, and requires the reference sources on ``sys.path``
+(``--reference-path``, default /root/reference) plus import shims for the
+reference's absent deps (pytorch_msssim, torchaudio, librosa, pyro).
+
+Known limitation: attribute-SCM checkpoints (``{'graph':
+CausalModuleGraph}``, train_mnist_attribute_scm.py:32) pickle live pyro
+distribution objects and cannot be unpickled without a real pyro install;
+this environment has none. Re-fit with train_*_attribute_scm.py (seconds
+on TPU) or dump flow parameters in the source environment.
+
 Weight-layout translations:
 
 - Conv2d            torch (O, I, kH, kW)        -> HWIO
@@ -24,9 +54,11 @@ from __future__ import annotations
 
 import argparse
 import sys
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+DEFAULT_REFERENCE_PATH = "/root/reference"
 
 
 def conv_w(t):  # (O, I, kH, kW) -> (kH, kW, I, O)
@@ -94,48 +126,108 @@ def map_plan_params(plan, sd: Dict[str, np.ndarray], prefix: str):
     return params, stats
 
 
-def load_torch_tar(path: str):
+# ------------------------------------------------------------------ loading
+
+
+def _install_reference_shims(reference_path: str):
+    """Make the reference package importable for whole-module unpickling:
+    sys.path + stand-ins for deps absent from this image. The shims only
+    need to satisfy module-level imports; classes instantiated at module
+    scope do not exist in the reference."""
+    import types
+
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    return obj
+    def shim(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    shim("pytorch_msssim", ssim=lambda *a, **k: torch.tensor(0.0))
+    ta = shim("torchaudio")
+    tat = shim("torchaudio.transforms", Spectrogram=object, GriffinLim=object)
+    ta.transforms = tat
+    shim("librosa", core=types.SimpleNamespace(resample=None), resample=None)
+    if reference_path not in sys.path:
+        sys.path.insert(0, reference_path)
+
+
+def load_torch_tar(path: str, reference_path: str = DEFAULT_REFERENCE_PATH):
+    """Load a reference checkpoint. Tries the safe tensor-only path first;
+    whole-module pickles (the reference's other convention) execute
+    arbitrary code from the file, so that fallback warns loudly."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        pass
+    print(
+        f"WARNING: {path} is not a plain state-dict checkpoint; falling back "
+        "to weights_only=False. Unpickling a whole-module checkpoint "
+        "EXECUTES CODE from the file — only convert checkpoints you trust.",
+        file=sys.stderr,
+    )
+    _install_reference_shims(reference_path)
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _to_np(sd) -> Dict[str, np.ndarray]:
+    return {k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+            for k, v in sd.items()}
 
 
 def state_dict_of(obj, key_module: str, key_sd: str):
     """Handle both reference conventions: whole module or *_state_dict."""
     if key_sd in obj:
-        return {k: v.numpy() for k, v in obj[key_sd].items()}
+        return _to_np(obj[key_sd])
     if key_module in obj:
-        return {k: v.numpy() for k, v in obj[key_module].state_dict().items()}
+        return _to_np(obj[key_module].state_dict())
     raise KeyError(f"neither {key_module} nor {key_sd} in checkpoint: {list(obj)}")
 
 
-def convert_mnist_bigan(path_in: str, path_out: str, data_dir: str = ""):
-    import jax
+# ------------------------------------------------------------------ BiGANs
 
-    from imagecfgen_tpu.cli.common import save_bigan
-    from imagecfgen_tpu.core.attributes import AttributeScaler, MNIST_SPEC
-    from imagecfgen_tpu.models.bigan import BiGAN, mnist_bigan_config
-    from imagecfgen_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+# per-family torch key for each embedded attribute:
+#   (E/D convention, G convention) — f(attr) -> state-dict key prefix
+def _embed_keys_mnist(attr):
+    return "digit_embedding.0.weight", "digit_embedding.weight"
 
-    obj = load_torch_tar(path_in)
-    sd_E = state_dict_of(obj, "E", "E_state_dict")
-    sd_G = state_dict_of(obj, "G", "G_state_dict")
-    sd_D = state_dict_of(obj, "D", "D_state_dict")
-    cfg = mnist_bigan_config()
 
-    params_E, _ = map_plan_params(cfg.enc_plan, sd_E, "layers")
-    params_E = {
-        "trunk": params_E,
-        "attr_channels": {
-            "embed_digit": {"embedding": np.asarray(sd_E["digit_embedding.0.weight"])}
+def _embed_keys_moduledict(attr):
+    return f"embedding_dict.{attr}.0.weight", f"embedding_dict.{attr}.weight"
+
+
+def _embed_keys_esrf(attr):
+    return "has_boat_embedding.0.weight", "has_boat_embedding.weight"
+
+
+def convert_bigan_tree(cfg, sd_E, sd_G, sd_D, embed_keys):
+    """Map reference E/G/D state dicts onto this framework's BiGAN params.
+    Returns (params_E, params_G, vars_D)."""
+    cat_names = [a.name for a in cfg.attr_spec.categorical]
+
+    def chans_params(sd):
+        return {
+            f"embed_{a}": {"embedding": np.asarray(sd[embed_keys(a)[0]])}
+            for a in cat_names
+        }
+
+    trunk_E, _ = map_plan_params(cfg.enc_plan, sd_E, "layers")
+    params_E = {"trunk": trunk_E, "attr_channels": chans_params(sd_E)}
+
+    trunk_G, _ = map_plan_params(cfg.gen_plan, sd_G, "layers")
+    params_G = {
+        "trunk": trunk_G,
+        "attr_vectors": {
+            f"embed_{a}": np.asarray(sd_G[embed_keys(a)[1]]) for a in cat_names
         },
     }
-    params_G_trunk, _ = map_plan_params(cfg.gen_plan, sd_G, "layers")
-    params_G = {
-        "trunk": params_G_trunk,
-        "attr_vectors": {"embed_digit": np.asarray(sd_G["digit_embedding.weight"])},
-    }
+
     dx_params, dx_stats = map_plan_params(cfg.dx_plan, sd_D, "dx")
     dz_params, _ = map_plan_params(cfg.dz_plan, sd_D, "dz")
     dxz_params, _ = map_plan_params(cfg.dxz_plan, sd_D, "dxz")
@@ -143,20 +235,48 @@ def convert_mnist_bigan(path_in: str, path_out: str, data_dir: str = ""):
         "dx": dx_params,
         "dz": dz_params,
         "dxz": dxz_params,
-        "attr_channels": {
-            "embed_digit": {"embedding": np.asarray(sd_D["digit_embedding.0.weight"])}
-        },
+        "attr_channels": chans_params(sd_D),
     }
-    batch_stats_D = {"dx": dx_stats}
+    vars_D = {"params": params_D, "batch_stats": {"dx": dx_stats}}
+    return params_E, params_G, vars_D
 
-    # fresh optimizer state + scaler from the training data (if available)
+
+def _fresh_bigan_state(cfg, params_E, params_G, vars_D):
+    import jax
+
+    from imagecfgen_tpu.models.bigan import BiGAN
+    from imagecfgen_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
+
     trainer = GANTrainer(BiGAN(cfg), GANTrainConfig())
     state = trainer.init_state(jax.random.PRNGKey(0))
-    state = state.replace(
+    return state.replace(
         params_E=params_E,
         params_G=params_G,
-        vars_D={"params": params_D, "batch_stats": batch_stats_D},
+        vars_D={
+            "params": vars_D["params"],
+            "batch_stats": vars_D["batch_stats"] or state.vars_D["batch_stats"],
+        },
     )
+
+
+def convert_mnist_bigan(path_in: str, path_out: str, data_dir: str = "",
+                        reference_path: str = DEFAULT_REFERENCE_PATH):
+    import jax
+
+    from imagecfgen_tpu.cli.common import save_bigan
+    from imagecfgen_tpu.core.attributes import AttributeScaler, MNIST_SPEC
+    from imagecfgen_tpu.models.bigan import mnist_bigan_config
+
+    obj = load_torch_tar(path_in, reference_path)
+    sd_E = state_dict_of(obj, "E", "E_state_dict")
+    sd_G = state_dict_of(obj, "G", "G_state_dict")
+    sd_D = state_dict_of(obj, "D", "D_state_dict")
+    cfg = mnist_bigan_config()
+    params_E, params_G, vars_D = convert_bigan_tree(
+        cfg, sd_E, sd_G, sd_D, _embed_keys_mnist
+    )
+    state = _fresh_bigan_state(cfg, params_E, params_G, vars_D)
+    scaler_valid = bool(data_dir)
     if data_dir:
         from imagecfgen_tpu.data.mnist import load_mnist_arrays
 
@@ -166,31 +286,258 @@ def convert_mnist_bigan(path_in: str, path_out: str, data_dir: str = ""):
         scaler = AttributeScaler(MNIST_SPEC, {k: 0.0 for k in ("thickness", "intensity", "slant")},
                                  {k: 1.0 for k in ("thickness", "intensity", "slant")})
         print("warning: no --data-dir; scaler saved with identity-ish bounds "
-              "— refit before use")
+              "— refit before use (checkpoint is marked scaler_valid=false)")
     save_bigan(path_out, jax.device_get(state), scaler,
-               meta={"converted_from": path_in})
+               meta={"converted_from": path_in, "scaler_valid": scaler_valid})
     print(f"wrote {path_out}")
 
 
-def convert_mnist_clf(path_in: str, path_out: str):
+def _load_spect_stats(stats_prefix: str, image_size):
+    """Reference stats convention: ``{prefix}_mean.npy`` / ``{prefix}_std.npy``
+    per-frequency-row vectors (classifiers/audio_mnist.py:200-219)."""
+    if stats_prefix:
+        mean = np.load(stats_prefix + "_mean.npy")
+        std = np.load(stats_prefix + "_std.npy")
+        return mean, std, True
+    h = image_size[0]
+    return np.zeros((h, 1), np.float32), np.ones((h, 1), np.float32), False
+
+
+def _convert_spect_bigan(kind: str, config_fn, embed_keys, path_in: str,
+                         path_out: str, stats_prefix: str = "",
+                         reference_path: str = DEFAULT_REFERENCE_PATH):
+    import jax
+
     from imagecfgen_tpu.core.checkpoint import save_checkpoint
+
+    obj = load_torch_tar(path_in, reference_path)
+    sd_E = state_dict_of(obj, "E", "E_state_dict")
+    sd_G = state_dict_of(obj, "G", "G_state_dict")
+    sd_D = state_dict_of(obj, "D", "D_state_dict")
+    cfg = config_fn()
+    params_E, params_G, vars_D = convert_bigan_tree(cfg, sd_E, sd_G, sd_D, embed_keys)
+    state = _fresh_bigan_state(cfg, params_E, params_G, vars_D)
+    mean, std, stats_valid = _load_spect_stats(stats_prefix, cfg.image_size)
+    if not stats_valid:
+        print("warning: no --stats-prefix; spectrogram stats saved as "
+              "identity — recompute from data before eval "
+              "(checkpoint is marked stats_valid=false)")
+    state = jax.device_get(state)
+    tree = {
+        "params_E": state.params_E,
+        "params_G": state.params_G,
+        "vars_D": state.vars_D,
+        "opt_eg": state.opt_eg,
+        "opt_d": state.opt_d,
+        "step": state.step,
+        "spect_mean": np.asarray(mean),
+        "spect_std": np.asarray(std),
+    }
+    save_checkpoint(path_out, tree, meta={
+        "kind": kind, "converted_from": path_in, "stats_valid": stats_valid,
+    })
+    print(f"wrote {path_out}")
+
+
+def convert_audio_bigan(path_in, path_out, stats_prefix="", reference_path=DEFAULT_REFERENCE_PATH):
+    from imagecfgen_tpu.models.bigan import audio_mnist_bigan_config
+
+    _convert_spect_bigan("bigan-audio-mnist", audio_mnist_bigan_config,
+                         _embed_keys_moduledict, path_in, path_out,
+                         stats_prefix, reference_path)
+
+
+def convert_whale_bigan(path_in, path_out, stats_prefix="", reference_path=DEFAULT_REFERENCE_PATH):
+    from imagecfgen_tpu.models.bigan import whale_bigan_config
+
+    _convert_spect_bigan("bigan-whale", whale_bigan_config,
+                         _embed_keys_moduledict, path_in, path_out,
+                         stats_prefix, reference_path)
+
+
+def convert_esrf_bigan(path_in, path_out, stats_prefix="", reference_path=DEFAULT_REFERENCE_PATH):
+    from imagecfgen_tpu.models.bigan import esrf_bigan_config
+
+    _convert_spect_bigan("bigan-esrf", esrf_bigan_config,
+                         _embed_keys_esrf, path_in, path_out,
+                         stats_prefix, reference_path)
+
+
+# ------------------------------------------------------------------ VAEs
+
+# (config fn path, mean/log-var torch attr names, embed key fn)
+_VAE_FAMILIES = {
+    "mnist-vae": ("mnist", ("mean_linear", "log_var_linear"), _embed_keys_mnist),
+    "audio-vae": ("audio", ("mean", "log_var"), _embed_keys_moduledict),
+    "whale-vae": ("whale", ("mean_linear", "log_var_linear"), _embed_keys_moduledict),
+}
+
+
+def convert_vae(kind: str, path_in: str, path_out: str,
+                reference_path: str = DEFAULT_REFERENCE_PATH):
+    """Map a reference VAE onto {"params": {"encoder", "decoder"}}.
+
+    Accepts either ``{'vae_state_dict': vae.state_dict()}`` (safe; keys are
+    ``encoder.*`` / ``decoder.*``) or the reference's whole-module
+    ``{'vae': module}`` (requires unpickling pyro objects — works only
+    where pyro is installed; see module docstring)."""
+    from imagecfgen_tpu.core.checkpoint import save_checkpoint
+    from imagecfgen_tpu.models import vae as vae_mod
+
+    family, (mean_name, lv_name), embed_keys = _VAE_FAMILIES[kind]
+    cfg = {
+        "mnist": vae_mod.mnist_vae_config,
+        "audio": vae_mod.audio_mnist_vae_config,
+        "whale": vae_mod.whale_vae_config,
+    }[family]()
+
+    obj = load_torch_tar(path_in, reference_path)
+    if "vae_state_dict" in obj:
+        sd = _to_np(obj["vae_state_dict"])
+    elif "vae" in obj:
+        sd = _to_np(obj["vae"].state_dict())
+    else:
+        raise KeyError(f"neither vae nor vae_state_dict in checkpoint: {list(obj)}")
+
+    enc = {k[len("encoder."):]: v for k, v in sd.items() if k.startswith("encoder.")}
+    dec = {k[len("decoder."):]: v for k, v in sd.items() if k.startswith("decoder.")}
+    cat_names = [a.name for a in cfg.attr_spec.categorical]
+
+    trunk_E, _ = map_plan_params(cfg.enc_plan + cfg.vae_trunk_tail, enc, "layers")
+    params_enc = {
+        "trunk": trunk_E,
+        "attr_channels": {
+            f"embed_{a}": {"embedding": np.asarray(enc[embed_keys(a)[0]])}
+            for a in cat_names
+        },
+        "mean_head": {
+            "conv_0_kernel": conv_w(enc[f"{mean_name}.weight"]),
+            "conv_0_bias": np.asarray(enc[f"{mean_name}.bias"]),
+        },
+        "log_var_head": {
+            "conv_0_kernel": conv_w(enc[f"{lv_name}.weight"]),
+            "conv_0_bias": np.asarray(enc[f"{lv_name}.bias"]),
+        },
+    }
+    trunk_D, _ = map_plan_params(cfg.gen_plan, dec, "layers")
+    params_dec = {
+        "trunk": trunk_D,
+        "attr_vectors": {
+            f"embed_{a}": np.asarray(dec[embed_keys(a)[1]]) for a in cat_names
+        },
+    }
+    save_checkpoint(path_out,
+                    {"params": {"encoder": params_enc, "decoder": params_dec}},
+                    meta={"kind": f"vae-{family}", "converted_from": path_in})
+    print(f"wrote {path_out}")
+
+
+# ------------------------------------------------------------------ classifiers
+
+
+def _seq_state_dict(obj, keys: Tuple[str, ...]):
+    """Reference classifiers are bare nn.Sequential saved under one of
+    several dict keys; state-dict keys are then '0.weight' etc."""
+    for k in keys:
+        if k in obj:
+            v = obj[k]
+            sd = _to_np(v if isinstance(v, dict) else v.state_dict())
+            return {f"seq.{kk}": vv for kk, vv in sd.items()}
+    raise KeyError(f"none of {keys} in checkpoint: {list(obj)}")
+
+
+def _convert_seq_classifier(cfg, kind: str, obj_keys, path_in, path_out,
+                            extra_tree=None, extra_meta=None,
+                            reference_path=DEFAULT_REFERENCE_PATH):
+    from imagecfgen_tpu.core.checkpoint import save_checkpoint
+
+    obj = load_torch_tar(path_in, reference_path)
+    sd = _seq_state_dict(obj, obj_keys)
+    params, _ = map_plan_params(cfg.plan, sd, "seq")
+    tree = {"params": {"trunk": params}, **(extra_tree or {})}
+    save_checkpoint(path_out, tree,
+                    meta={"kind": kind, "converted_from": path_in,
+                          **(extra_meta or {})})
+    print(f"wrote {path_out}")
+
+
+def convert_mnist_clf(path_in, path_out, reference_path=DEFAULT_REFERENCE_PATH):
     from imagecfgen_tpu.models.classifier import mnist_classifier_config
 
-    obj = load_torch_tar(path_in)
-    key = "clf" if "clf" in obj else "model"
-    sd = {k: v.numpy() for k, v in obj[key].state_dict().items()}
-    cfg = mnist_classifier_config()
-    # the torch classifier is a bare nn.Sequential: keys are "0.weight" etc.
-    sd = {f"seq.{k}": v for k, v in sd.items()}
-    params, _ = map_plan_params(cfg.plan, sd, "seq")
-    save_checkpoint(path_out, {"params": {"trunk": params}},
-                    meta={"kind": "mnist-clf", "converted_from": path_in})
-    print(f"wrote {path_out}")
+    _convert_seq_classifier(mnist_classifier_config(), "mnist-clf",
+                            ("clf", "model", "clf_state_dict"),
+                            path_in, path_out, reference_path=reference_path)
+
+
+def convert_mnist_oracle(path_in, path_out, reference_path=DEFAULT_REFERENCE_PATH):
+    from imagecfgen_tpu.models.classifier import mnist_oracle_config
+
+    _convert_seq_classifier(mnist_oracle_config(), "mnist-oracle",
+                            ("oracle", "model", "clf"),
+                            path_in, path_out, reference_path=reference_path)
+
+
+def convert_audio_clf(path_in, path_out, attribute="digit", stats_prefix="",
+                      reference_path=DEFAULT_REFERENCE_PATH):
+    from imagecfgen_tpu.models.classifier import audio_mnist_classifier_config
+    from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
+
+    n_classes = 60 if attribute == "subject" else CARDINALITIES[attribute]
+    mean, std, stats_valid = _load_spect_stats(stats_prefix, (128, 128))
+    if not stats_valid:
+        print("warning: no --stats-prefix; spectrogram stats saved as identity "
+              "(stats_valid=false)")
+    _convert_seq_classifier(
+        audio_mnist_classifier_config(num_classes=n_classes), "audio-mnist-clf",
+        ("model", "clf"), path_in, path_out,
+        extra_tree={"spect_mean": mean, "spect_std": std},
+        extra_meta={"attribute": attribute, "n_classes": n_classes,
+                    "width": 1.0, "stats_valid": stats_valid},
+        reference_path=reference_path,
+    )
+
+
+def convert_whale_clf(path_in, path_out, stats_prefix="",
+                      reference_path=DEFAULT_REFERENCE_PATH):
+    from imagecfgen_tpu.models.classifier import narw_classifier_config
+
+    mean, std, stats_valid = _load_spect_stats(stats_prefix, (256, 256))
+    if not stats_valid:
+        print("warning: no --stats-prefix; spectrogram stats saved as identity "
+              "(stats_valid=false)")
+    _convert_seq_classifier(
+        narw_classifier_config(), "whale-clf", ("clf", "model"),
+        path_in, path_out,
+        extra_tree={"spect_mean": mean, "spect_std": std},
+        extra_meta={"width": 1.0, "stats_valid": stats_valid},
+        reference_path=reference_path,
+    )
+
+
+def convert_attribute_scm(path_in, path_out, **_):
+    raise SystemExit(
+        "attribute-SCM checkpoints pickle live pyro distribution objects "
+        "(train_mnist_attribute_scm.py:32) and cannot be unpickled without "
+        "a real pyro install, which this image lacks. Re-fit the SCM with "
+        "train_mnist_attribute_scm.py / train_audio_mnist_attribute_scm.py "
+        "(it is a seconds-long MLE fit on TPU), or export the flow "
+        "parameters from the source environment."
+    )
 
 
 KINDS = {
     "mnist-bigan": convert_mnist_bigan,
+    "audio-bigan": convert_audio_bigan,
+    "whale-bigan": convert_whale_bigan,
+    "esrf-bigan": convert_esrf_bigan,
+    "mnist-vae": lambda i, o, **kw: convert_vae("mnist-vae", i, o, **kw),
+    "audio-vae": lambda i, o, **kw: convert_vae("audio-vae", i, o, **kw),
+    "whale-vae": lambda i, o, **kw: convert_vae("whale-vae", i, o, **kw),
     "mnist-clf": convert_mnist_clf,
+    "morphomnist-oracle": convert_mnist_oracle,
+    "audio-clf": convert_audio_clf,
+    "whale-clf": convert_whale_clf,
+    "attribute-scm": convert_attribute_scm,
 }
 
 if __name__ == "__main__":
@@ -200,8 +547,20 @@ if __name__ == "__main__":
     ap.add_argument("--output", required=True)
     ap.add_argument("--data-dir", default="",
                     help="(mnist-bigan) training npy dir to refit the attribute scaler")
+    ap.add_argument("--stats-prefix", default="",
+                    help="(spectrogram kinds) path prefix of {prefix}_mean.npy/"
+                         "{prefix}_std.npy per-row spectrogram stats")
+    ap.add_argument("--attribute", default="digit",
+                    help="(audio-clf) target attribute (or 'subject')")
+    ap.add_argument("--reference-path", default=DEFAULT_REFERENCE_PATH,
+                    help="reference sources for whole-module unpickling")
     args = ap.parse_args()
+    kw = {"reference_path": args.reference_path}
     if args.kind == "mnist-bigan":
-        convert_mnist_bigan(args.input, args.output, args.data_dir)
-    else:
-        KINDS[args.kind](args.input, args.output)
+        kw["data_dir"] = args.data_dir
+    if args.kind in ("audio-bigan", "whale-bigan", "esrf-bigan",
+                     "audio-clf", "whale-clf"):
+        kw["stats_prefix"] = args.stats_prefix
+    if args.kind == "audio-clf":
+        kw["attribute"] = args.attribute
+    KINDS[args.kind](args.input, args.output, **kw)

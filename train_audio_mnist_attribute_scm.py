@@ -17,6 +17,8 @@ if __name__ == "__main__":
     import numpy as np
 
     from imagecfgen_tpu.cli.audio_common import load_audio_dataset, save_audio_scm
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.scm.audio_mnist import AudioMNISTAttributeSCM
 
     data = load_audio_dataset(args.zip_path)

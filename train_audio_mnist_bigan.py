@@ -33,6 +33,8 @@ if __name__ == "__main__":
         prepare_training_arrays,
         save_audio_bigan,
     )
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.models.bigan import BiGAN, audio_mnist_bigan_config
     from imagecfgen_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
 

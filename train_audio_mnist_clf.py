@@ -30,6 +30,8 @@ if __name__ == "__main__":
     import numpy as np
 
     from imagecfgen_tpu.cli.audio_common import load_audio_dataset, prepare_training_arrays
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.checkpoint import save_checkpoint
     from imagecfgen_tpu.data.audio_mnist import VALIDATION_RUNS
     from imagecfgen_tpu.models.classifier import CNNClassifier, audio_mnist_classifier_config

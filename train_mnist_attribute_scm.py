@@ -20,6 +20,8 @@ if __name__ == "__main__":
     import numpy as np
 
     from imagecfgen_tpu.cli.common import save_attribute_scm
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.data.mnist import load_mnist_arrays
     from imagecfgen_tpu.scm.mnist import MNISTAttributeSCM
 

@@ -27,6 +27,8 @@ if __name__ == "__main__":
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from imagecfgen_tpu.cli.common import load_mnist_training_data, scale_attrs_np
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.checkpoint import save_checkpoint
     from imagecfgen_tpu.models.vae import ConditionalVAE, mnist_vae_config
     from imagecfgen_tpu.parallel.mesh import DATA_AXIS

@@ -53,4 +53,6 @@ if __name__ == "__main__":
         print(f"oracle {d}: train acc {acc:.4f} -> {out}")
 
     from imagecfgen_tpu.cli.common import clean_exit
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     clean_exit()

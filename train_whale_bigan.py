@@ -30,6 +30,8 @@ if __name__ == "__main__":
         load_whale_dataset,
         save_whale_bigan,
     )
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.models.bigan import BiGAN, whale_bigan_config
     from imagecfgen_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
 

@@ -22,6 +22,8 @@ if __name__ == "__main__":
     import numpy as np
 
     from imagecfgen_tpu.cli.whale_common import collect_whale_arrays, load_whale_dataset
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.checkpoint import save_checkpoint
     from imagecfgen_tpu.models.classifier import CNNClassifier, narw_classifier_config
     from imagecfgen_tpu.train.clf_trainer import (

@@ -28,6 +28,8 @@ if __name__ == "__main__":
         load_whale_bigan,
         load_whale_dataset,
     )
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     from imagecfgen_tpu.core.checkpoint import load_checkpoint
     from imagecfgen_tpu.models.bigan import BiGAN, whale_bigan_config
     from imagecfgen_tpu.models.classifier import CNNClassifier, narw_classifier_config
