@@ -74,13 +74,22 @@ def linear_w(t):  # (O, I) -> (I, O)
     return np.transpose(np.asarray(t), (1, 0))
 
 
-def map_plan_params(plan, sd: Dict[str, np.ndarray], prefix: str):
+def map_plan_params(plan, sd: Dict[str, np.ndarray], prefix: str,
+                    input_hw: Optional[Tuple[int, int]] = None):
     """Walk a PlanSequential plan against a torch nn.Sequential state dict,
-    consuming sequential indices in order. Returns (params, batch_stats)."""
+    consuming sequential indices in order. Returns (params, batch_stats).
+
+    ``input_hw``: when given, spatial shape is tracked through the plan so
+    a dense layer following a flatten of a >1x1 feature map gets its input
+    rows permuted from torch's (C, H, W)-major flatten order to this
+    framework's (H, W, C)-major order."""
     params: Dict[str, np.ndarray] = {}
     stats: Dict[str, Dict[str, np.ndarray]] = {}
     seq_i = 0
     conv_i = bn_i = dense_i = 0
+    plan = tuple(plan)
+    hw = tuple(input_hw) if input_hw is not None else None
+    flat_perm_shape: Optional[Tuple[int, int, int]] = None  # (H, W, C) at flatten
 
     def take(name):
         key = f"{prefix}.{seq_i}.{name}"
@@ -88,21 +97,55 @@ def map_plan_params(plan, sd: Dict[str, np.ndarray], prefix: str):
             raise KeyError(f"missing {key}; have e.g. {list(sd)[:5]}")
         return np.asarray(sd[key])
 
-    for op in plan:
+    def _dense_perm(op_idx, n_out):
+        """torch reshapes a dense stem with Unflatten(1, (C, H, W))
+        (channel-first); this framework reshapes to (H, W, C). When a
+        dense op feeds a reshape, permute its output columns so the two
+        layouts agree element-for-element."""
+        if op_idx + 1 < len(plan) and plan[op_idx + 1][0] == "reshape":
+            h, w, c = plan[op_idx + 1][1]
+            if h * w * c == n_out and (h, w) != (1, 1):
+                idx = np.arange(n_out).reshape(c, h, w)  # torch (C,H,W) order
+                return np.transpose(idx, (1, 2, 0)).reshape(-1)  # -> (H,W,C)
+        return None
+
+    for op_idx, op in enumerate(plan):
         kind = op[0]
         if kind == "conv":
-            params[f"conv_{conv_i}_kernel"] = conv_w(take("weight"))
+            w = conv_w(take("weight"))
+            params[f"conv_{conv_i}_kernel"] = w
             params[f"conv_{conv_i}_bias"] = take("bias")
+            if hw is not None:
+                k, s, p = op[2], op[3], op[4]
+                hw = tuple((d + 2 * p - k) // s + 1 for d in hw)
             conv_i += 1
             seq_i += 1
         elif kind == "convT":
-            params[f"convT_{conv_i}_kernel"] = convT_w(take("weight"))
+            w = convT_w(take("weight"))
+            params[f"convT_{conv_i}_kernel"] = w
             params[f"convT_{conv_i}_bias"] = take("bias")
+            if hw is not None:
+                k, s, p = op[2], op[3], op[4]
+                op_pad = op[5] if len(op) > 5 else 0
+                hw = tuple((d - 1) * s - 2 * p + k + op_pad for d in hw)
             conv_i += 1
             seq_i += 1
         elif kind == "dense":
-            params[f"dense_{dense_i}_kernel"] = linear_w(take("weight"))
-            params[f"dense_{dense_i}_bias"] = take("bias")
+            w = linear_w(take("weight"))
+            b = take("bias")
+            if flat_perm_shape is not None:
+                h, wd, c = flat_perm_shape
+                idx = np.arange(h * wd * c).reshape(c, h, wd)  # torch (C,H,W)
+                row_perm = np.transpose(idx, (1, 2, 0)).reshape(-1)
+                w = w[row_perm, :]
+                flat_perm_shape = None
+            perm = _dense_perm(op_idx, w.shape[1])
+            if perm is not None:
+                w, b = w[:, perm], b[perm]
+            params[f"dense_{dense_i}_kernel"] = w
+            params[f"dense_{dense_i}_bias"] = b
+            if hw is not None:
+                hw = (1, 1)
             dense_i += 1
             seq_i += 1
         elif kind == "bn":
@@ -118,8 +161,16 @@ def map_plan_params(plan, sd: Dict[str, np.ndarray], prefix: str):
             seq_i += 1
         elif kind in ("lrelu", "tanh", "sigmoid", "drop", "drop2d"):
             seq_i += 1  # parameterless torch module occupies an index
-        elif kind in ("flatten", "reshape"):
-            # torch uses Flatten()/Unflatten() modules inside Sequential
+        elif kind == "flatten":
+            if hw is not None and hw != (1, 1):
+                # channel count = most recent conv's output channels
+                convs = [o for o in plan[:op_idx] if o[0] in ("conv", "convT")]
+                if convs:
+                    flat_perm_shape = (hw[0], hw[1], convs[-1][1])
+            seq_i += 1
+        elif kind == "reshape":
+            if hw is not None:
+                hw = tuple(op[1][:2])
             seq_i += 1
         else:
             raise ValueError(kind)
@@ -152,6 +203,24 @@ def _install_reference_shims(reference_path: str):
     tat = shim("torchaudio.transforms", Spectrogram=object, GriffinLim=object)
     ta.transforms = tat
     shim("librosa", core=types.SimpleNamespace(resample=None), resample=None)
+    # pyro: enough to *import* the reference VAE modules (their classes use
+    # ConditionalTransform as a base and torch-compatible distributions at
+    # runtime); unpickling live pyro objects still requires real pyro.
+    py = shim("pyro")
+    pyd = shim("pyro.distributions",
+               MultivariateNormal=torch.distributions.MultivariateNormal,
+               Normal=torch.distributions.Normal)
+    pydt = shim("pyro.distributions.transforms",
+                AffineTransform=torch.distributions.transforms.AffineTransform)
+    pydc = shim("pyro.distributions.conditional",
+                ConditionalTransform=type("ConditionalTransform", (), {}),
+                ConditionalTransformedDistribution=type(
+                    "ConditionalTransformedDistribution", (), {
+                        "__init__": lambda self, *a, **k: None}))
+    py.distributions = pyd
+    pyd.transforms = pydt
+    pyd.conditional = pydc
+    pyd.ConditionalTransformedDistribution = pydc.ConditionalTransformedDistribution
     if reference_path not in sys.path:
         sys.path.insert(0, reference_path)
 
@@ -453,7 +522,7 @@ def _convert_seq_classifier(cfg, kind: str, obj_keys, path_in, path_out,
 
     obj = load_torch_tar(path_in, reference_path)
     sd = _seq_state_dict(obj, obj_keys)
-    params, _ = map_plan_params(cfg.plan, sd, "seq")
+    params, _ = map_plan_params(cfg.plan, sd, "seq", input_hw=cfg.image_size)
     tree = {"params": {"trunk": params}, **(extra_tree or {})}
     save_checkpoint(path_out, tree,
                     meta={"kind": kind, "converted_from": path_in,
