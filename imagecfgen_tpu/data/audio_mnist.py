@@ -59,12 +59,14 @@ def audio_from_log_spect(log_spec: jnp.ndarray, rng=None, n_iter: int = 32) -> j
 
 
 def _resample_to_8k(wav: np.ndarray, sr: int) -> np.ndarray:
+    """Polyphase 48k->8k like the reference's librosa path
+    (``image_scms/audio_mnist.py:77-79``); FFT-domain resampling has
+    different ringing on speech and was replaced (round-1 review)."""
     if sr == SAMPLE_RATE:
         return wav.astype(np.float32)
-    from scipy import signal
+    from ..ops.resample import resample
 
-    n_out = int(round(len(wav) * SAMPLE_RATE / sr))
-    return signal.resample(wav.astype(np.float32), n_out).astype(np.float32)
+    return resample(wav, sr, SAMPLE_RATE).astype(np.float32)
 
 
 class OneHotVocab:

@@ -80,3 +80,109 @@ def test_spect_stats_roundtrip_and_clip():
     # streaming stats agree with one-shot
     stats2 = SpectStats.compute_batched([np.asarray(spects[:32]), np.asarray(spects[32:])])
     assert np.allclose(np.asarray(stats2.mean), np.asarray(stats.mean), atol=1e-4)
+
+
+# ---------------------------------------------------------------- torch parity
+# torchaudio is absent, but torchaudio.transforms.Spectrogram(n_fft, win,
+# hop, pad) is by definition F.pad(x, (pad, pad)) -> torch.stft(center=True,
+# pad_mode="reflect", hann(win) zero-centred to n_fft, onesided) -> |.|^2.
+# torch 2.x is installed, so torch.stft/istft pin the exact framing/window
+# conventions for all three reference configs (VERDICT round-1 item 4).
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_CONFIGS = {
+    # image_scms/audio_mnist.py:59-61
+    "audio_mnist": StftConfig(n_fft=255, win_length=128, pad=96),
+    # image_scms/whalecalls.py:52-55
+    "whale": StftConfig(n_fft=511, win_length=128, hop_length=24, pad=64),
+    # image_scms/esrf_acoustic.py:36-39
+    "esrf": StftConfig(n_fft=1023, win_length=256, hop_length=79, pad=200),
+}
+
+
+def _torch_spectrogram(x_np, cfg):
+    x = torch.from_numpy(x_np.astype(np.float64))
+    if cfg.pad:
+        x = torch.nn.functional.pad(x, (cfg.pad, cfg.pad))
+    win = torch.hann_window(cfg.win_length, periodic=True, dtype=torch.float64)
+    s = torch.stft(
+        x, cfg.n_fft, hop_length=cfg.hop, win_length=cfg.win_length,
+        window=win, center=cfg.center, pad_mode="reflect",
+        onesided=True, return_complex=True,
+    )
+    return (s.abs() ** cfg.power).numpy()
+
+
+@pytest.mark.parametrize("name", sorted(REF_CONFIGS))
+def test_spectrogram_matches_torch(name):
+    cfg = REF_CONFIGS[name]
+    rng = np.random.default_rng(0)
+    n = {"audio_mnist": 8000, "whale": 3000 * 1, "esrf": 20000}[name]
+    x = rng.normal(0, 1, (2, n)).astype(np.float64)
+    ref = _torch_spectrogram(x, cfg)
+    ours = np.asarray(spectrogram(jnp.asarray(x), cfg))
+    assert ref.shape == ours.shape, (ref.shape, ours.shape)
+    scale = np.abs(ref).max()
+    err = np.abs(ref - ours).max() / scale
+    assert err < 1e-4, err
+
+
+@pytest.mark.parametrize("name", sorted(REF_CONFIGS))
+def test_istft_matches_torch(name):
+    from imagecfgen_tpu.ops.stft import istft, stft
+
+    cfg = REF_CONFIGS[name]
+    # compare the raw (pad=0) istft against torch.istft on the same complex
+    # spectrogram; the explicit `pad` is sliced off identically by both
+    import dataclasses as dc
+
+    cfg0 = dc.replace(cfg, pad=0)
+    rng = np.random.default_rng(1)
+    n = 6000
+    x = rng.normal(0, 1, (2, n)).astype(np.float64)
+    spec = np.asarray(stft(jnp.asarray(x), cfg0))
+    win = torch.hann_window(cfg0.win_length, periodic=True, dtype=torch.float64)
+    ref = torch.istft(
+        torch.from_numpy(spec), cfg0.n_fft, hop_length=cfg0.hop,
+        win_length=cfg0.win_length, window=win, center=True, length=n,
+    ).numpy()
+    ours = np.asarray(istft(jnp.asarray(spec), cfg0, length=n))
+    err = np.abs(ref - ours).max() / np.abs(ref).max()
+    assert err < 1e-4, err
+
+
+def test_resample_poly_matches_scipy():
+    """ops/resample.py (from-scratch polyphase, the librosa-path
+    replacement) vs the scipy.signal.resample_poly golden."""
+    from scipy import signal as ss
+
+    from imagecfgen_tpu.ops.resample import resample, resample_poly
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(0, 1, 48000 // 10).astype(np.float64)
+    for up, down in [(1, 6), (2, 3), (3, 2), (160, 441)]:
+        ref = ss.resample_poly(x, up, down)
+        ours = resample_poly(x, up, down)
+        assert ours.shape == ref.shape, (up, down, ours.shape, ref.shape)
+        assert np.allclose(ref, ours, atol=1e-9), (
+            up, down, np.abs(ref - ours).max())
+    # 48k -> 8k wrapper used by the AudioMNIST loader
+    ref = ss.resample_poly(x, 1, 6)
+    ours = resample(x, 48000, 8000)
+    assert np.allclose(ref, ours, atol=1e-9)
+
+
+def test_resample_preserves_tone():
+    """A 440 Hz tone survives 48k->8k with the right length and frequency."""
+    from imagecfgen_tpu.ops.resample import resample
+
+    t = np.arange(48000) / 48000.0
+    x = np.sin(2 * np.pi * 440 * t)
+    y = resample(x, 48000, 8000)
+    assert y.shape == (8000,)
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    peak_hz = np.argmax(spec) * 8000 / len(y)
+    assert abs(peak_hz - 440) < 2, peak_hz
