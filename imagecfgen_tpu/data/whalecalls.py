@@ -50,7 +50,8 @@ def signaltonoise(a: np.ndarray, axis=0, ddof=0) -> np.ndarray:
     a = np.asanyarray(a)
     m = a.mean(axis)
     sd = a.std(axis=axis, ddof=ddof)
-    return np.where(sd == 0, 0, m / sd)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(sd == 0, 0, m / sd)
 
 
 def _parse_mat_log(path: str) -> np.ndarray:
