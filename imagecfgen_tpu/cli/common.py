@@ -36,10 +36,22 @@ def install_cli_excepthook() -> None:
     points only — installing it as an import side effect would silently
     disable normal exception teardown (atexit handlers, tempfile cleanup,
     pytest reporting) for library importers like the checkpoint converter
-    and the test suite."""
+    and the test suite.
+
+    Also honors a non-default ``JAX_PLATFORMS`` env override: the axon TPU
+    plugin ignores the env var, so CPU-pinned subprocess runs (the slow
+    battery tests) would otherwise grab the single-tenant TPU."""
     import sys
 
     sys.excepthook = _cli_excepthook
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and plat != "axon":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
 
 
 def clean_exit(code: int = 0) -> None:

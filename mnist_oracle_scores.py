@@ -105,6 +105,15 @@ if __name__ == "__main__":
             row[f"{name}_js"] = js_divergence(probs, os_)
             for j in range(10):
                 row[f"{name}_os_{j}"] = os_[j]
+        # OmnixAI baseline columns (reference mnist_oracle_scores.py:122-139
+        # 'cf'/'pn' methods) — NaN when omnixai is absent, keeping the CSV
+        # schema drop-in comparable
+        for name in ("cf", "pn"):
+            row[f"{name}_label"] = np.nan
+            row[f"{name}_oracle_agree"] = np.nan
+            row[f"{name}_js"] = np.nan
+            for j in range(10):
+                row[f"{name}_os_{j}"] = np.nan
         rows.append(row)
 
     pd.DataFrame(rows).to_csv(args.output, index=False)

@@ -107,6 +107,39 @@ if __name__ == "__main__":
         r2 = ae_fn(ae_params["all"], cf)
         return float(((r1 - r2) ** 2).sum())
 
+    # OmnixAI baselines (reference morphomnist_cf_metrics.py:70-118):
+    # ContrastiveExplainer -> "pn", CounterfactualExplainer -> "cf".
+    # The package is optional; without it the columns are emitted as NaN
+    # so the CSV schema stays byte-compatible.
+    omnix_explain = None
+    try:
+        from omnixai.data.image import Image  # type: ignore
+        from omnixai.explainers.vision import (  # type: ignore
+            ContrastiveExplainer,
+            CounterfactualExplainer,
+        )
+        import torch as _torch
+
+        class _TorchClf(_torch.nn.Module):
+            def forward(self, t):
+                logits = clf_fn(jnp.asarray(t.detach().cpu().numpy()
+                                            .reshape(-1, 28, 28, 1)))
+                return _torch.from_numpy(np.asarray(logits))
+
+        _tclf = _TorchClf()
+        _contr = ContrastiveExplainer(model=_tclf, preprocess_function=None)
+        _cfexp = CounterfactualExplainer(model=_tclf, preprocess_function=None)
+
+        def omnix_explain(kind, x_np):
+            im = Image(x_np.reshape((1, 28, 28, 1)), batched=True)
+            if kind == "pn":
+                out = _contr.explain(im).explanations[0]["pn"]
+            else:
+                out = _cfexp.explain(im).explanations[0]["cf"]
+            return np.asarray(out, np.float32).reshape(1, 28, 28, 1)
+    except Exception as e:  # omnixai absent (this image) or API drift
+        print(f"omnixai baselines unavailable ({e!r}); emitting NaN columns")
+
     rng = np.random.default_rng(args.seed)
     digits = np.asarray(attrs["digit"]).argmax(axis=1)
     rows = []
@@ -135,6 +168,26 @@ if __name__ == "__main__":
             row[f"o_rec_{name}"] = o_rec(cf, digit)
             row[f"t_rec_{name}"] = o_rec(cf, label)
             row[f"all_rec_{name}"] = all_rec(cf, label)
+        # OmnixAI contrastive ("pn") / counterfactual ("cf") baseline
+        # columns — emitted NaN when the package is absent so the CSV
+        # schema stays drop-in comparable with the reference's
+        # (morphomnist_cf_metrics.py:120-156)
+        for name in ("cf", "pn"):
+            if omnix_explain is not None:
+                img = omnix_explain(name, np.asarray(xb))
+                ocf = jnp.asarray(img)
+                lab = int(jnp.argmax(clf_fn(ocf), axis=1)[0])
+                row[f"{name}_label"] = lab
+                row[f"l1_{name}"] = float(jnp.abs(ocf).sum())
+                row[f"o_rec_{name}"] = o_rec(ocf, digit)
+                row[f"t_rec_{name}"] = o_rec(ocf, lab)
+                row[f"all_rec_{name}"] = all_rec(ocf, lab)
+            else:
+                row[f"{name}_label"] = np.nan
+                row[f"l1_{name}"] = np.nan
+                row[f"o_rec_{name}"] = np.nan
+                row[f"t_rec_{name}"] = np.nan
+                row[f"all_rec_{name}"] = np.nan
         rows.append(row)
         if (i + 1) % 16 == 0:
             print(f"{i + 1}/{n}")

@@ -1,0 +1,33 @@
+#!/bin/bash
+# MNIST quality battery with a real training budget (VERDICT round-1
+# item 6: BiGAN CF digit accuracy must meet/beat the VAE baseline).
+# Runs on the TPU; synthesis is host-side. Artifacts land in
+# .battery_data/ (git-ignored).
+set -e
+cd "$(dirname "$0")/.."
+D=${1:-.battery_data}
+EPOCHS=${EPOCHS:-600}
+mkdir -p "$D"
+
+if [ ! -f "$D/mnist-x-train.npy" ]; then
+  python create_train_dataset.py --synthetic 8192 --out-dir "$D"
+  python create_test_dataset.py --synthetic 2048 --out-dir "$D"
+fi
+
+python train_mnist_image_scm.py --data-dir "$D" --steps "$EPOCHS" \
+  --d-updates-per-g-update 3 --save-images-every 200 --output-path "$D"
+python finetune_mnist_bigan.py --data-dir "$D" --steps 60 \
+  --model-file "$D/mnist-bigan.tar"
+python train_mnist_attribute_scm.py --data-dir "$D" --steps 2000 --output-path "$D"
+python train_mnist_clf.py --data-dir "$D" --epochs 20 --output-path "$D"
+python train_mnist_vae.py --data-dir "$D" --steps 100 --output-path "$D"
+
+echo "=== BiGAN CF score ==="
+python mnist_bigan_score.py --data-dir "$D" --model-dir "$D" --limit 2048
+echo "=== VAE CF score ==="
+python mnist_vae_score.py --data-dir "$D" --model-dir "$D" --limit 2048
+echo "=== generator scores ==="
+python mnist_generator_score.py --model-dir "$D" --n 2048
+python mnist_vae_generator_score.py --model-dir "$D" --n 2048
+echo "=== measured CF parity ==="
+python mnist_gan_measured_cf.py --data-dir "$D" --model-dir "$D" --limit 256 --workers 1
