@@ -70,6 +70,12 @@ class GANTrainConfig:
     batch_size: int = 64
     d_updates_per_g_update: int = 1
     exact_reference_diagnostics: bool = False
+    # rematerialize E/G/D forwards in the backward pass: trades ~1/3 more
+    # FLOPs for not keeping every conv activation live — the 512^2 ESRF
+    # stacks at real batch sizes exceed single-chip HBM otherwise
+    # (SURVEY §7 hard part 6; the reference "solves" this with
+    # torch.cuda.empty_cache(), esrf_acoustic.py:378)
+    remat: bool = False
 
 
 class GANTrainer:
@@ -158,18 +164,32 @@ class GANTrainer:
         rng, kz, ke1, kd1, kd2, kd3, kd4, kdg, kde = jax.random.split(state.rng, 9)
         z = jax.random.normal(kz, (x.shape[0], 1, 1, cfg.latent_dim))
 
+        def _e_fwd(params, x, attrs, key):
+            return E.apply({"params": params}, x, attrs, train=True,
+                           rngs={"dropout": key})
+
+        def _g_fwd(params, z, attrs):
+            return G.apply({"params": params}, z, attrs, train=True)
+
+        _d_fwd = self._apply_D
+        if self.tcfg.remat:
+            _e_fwd = jax.checkpoint(_e_fwd)
+            _g_fwd = jax.checkpoint(_g_fwd)
+            _d_fwd = jax.checkpoint(
+                lambda pd, bs, xx, zz, aa, kk: self._apply_D(pd, bs, xx, zz, aa, kk)
+            )
+
         # ---- E+G update (every d_updates_per_g_update steps)
         def eg_update(operand):
             params_E, params_G, vars_D, opt_eg = operand
 
             def loss_fn(params_eg):
-                ex = E.apply({"params": params_eg["E"]}, x, attrs, train=True,
-                             rngs={"dropout": ke1})
-                gz = G.apply({"params": params_eg["G"]}, z, attrs, train=True)
-                d_valid, bs1 = self._apply_D(
+                ex = _e_fwd(params_eg["E"], x, attrs, ke1)
+                gz = _g_fwd(params_eg["G"], z, attrs)
+                d_valid, bs1 = _d_fwd(
                     vars_D["params"], vars_D["batch_stats"], x, ex, attrs, kd1
                 )
-                d_fake, bs2 = self._apply_D(
+                d_fake, bs2 = _d_fwd(
                     vars_D["params"], bs1, gz, z, attrs, kd2
                 )
                 # label-swapped EG loss (reference image_scms/mnist.py:228)
@@ -197,16 +217,12 @@ class GANTrainer:
         )
 
         # fixed E/G outputs for the D updates (detached in the reference)
-        ex = jax.lax.stop_gradient(
-            E.apply({"params": params_E}, x, attrs, train=True, rngs={"dropout": ke1})
-        )
-        gz = jax.lax.stop_gradient(
-            G.apply({"params": params_G}, z, attrs, train=True)
-        )
+        ex = jax.lax.stop_gradient(_e_fwd(params_E, x, attrs, ke1))
+        gz = jax.lax.stop_gradient(_g_fwd(params_G, z, attrs))
 
         # ---- D update 1: real pair (x, E(x)) labelled valid
         def d_loss_real(params_d, bs):
-            d_valid, new_bs = self._apply_D(params_d, bs, x, ex, attrs, kd3)
+            d_valid, new_bs = _d_fwd(params_d, bs, x, ex, attrs, kd3)
             return bce_logits(d_valid, 1), (new_bs, d_valid)
 
         (loss_d1, (bs, d_valid_logits)), grads = jax.value_and_grad(
@@ -217,7 +233,7 @@ class GANTrainer:
 
         # ---- D update 2: fake pair (G(z), z) labelled fake, with updated D
         def d_loss_fake(params_d, bs):
-            d_fake, new_bs = self._apply_D(params_d, bs, gz, z, attrs, kd4)
+            d_fake, new_bs = _d_fwd(params_d, bs, gz, z, attrs, kd4)
             return bce_logits(d_fake, 0), (new_bs, d_fake)
 
         (loss_d2, (bs, d_fake_logits)), grads = jax.value_and_grad(

@@ -86,3 +86,30 @@ def test_encoder_finetuner_improves_reconstruction():
         state, m = ft.fit_epoch(state, data, jax.random.fold_in(jax.random.PRNGKey(2), e))
         recs.append(float(m["rec"]) + float(m["latent"]))
     assert recs[-1] < recs[0], recs
+
+
+def test_remat_matches_no_remat():
+    """GANTrainConfig(remat=True) rematerializes forwards in the backward
+    pass; the computed updates must be bit-for-bit compatible (same graph
+    semantics, identical rng), only the memory/FLOP trade changes."""
+    x, attrs = _data(16, seed=3)
+    key = jax.random.PRNGKey(7)
+    metrics = {}
+    states = {}
+    for remat in (False, True):
+        trainer = GANTrainer(
+            BiGAN(tiny_config()),
+            GANTrainConfig(batch_size=8, remat=remat),
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        data = trainer.upload_dataset(x, attrs)
+        state, m = trainer.fit_epoch(state, data, key)
+        metrics[remat] = {k: float(v) for k, v in m.items()}
+        states[remat] = state
+    for k in metrics[False]:
+        assert np.isclose(metrics[False][k], metrics[True][k], atol=1e-5), (
+            k, metrics[False][k], metrics[True][k])
+    # parameters after the epoch agree too
+    for a, b in zip(jax.tree_util.tree_leaves(states[False].params_G),
+                    jax.tree_util.tree_leaves(states[True].params_G)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -18,6 +18,9 @@ parser.add_argument("--start-model", type=str, default=None)
 parser.add_argument("--d", type=int, default=64)
 parser.add_argument("--max-batches", type=int, default=None,
                     help="cap data collection (512^2 windows are large)")
+parser.add_argument("--remat", action="store_true", default=True,
+                    help="rematerialize forwards in backward (saves HBM on the large spectrogram stacks)")
+parser.add_argument("--no-remat", dest="remat", action="store_false")
 parser.add_argument("--seed", type=int, default=0)
 
 if __name__ == "__main__":
@@ -60,7 +63,7 @@ if __name__ == "__main__":
     trainer = GANTrainer(
         model,
         GANTrainConfig(learning_rate=args.l_rate, betas=(0.5, 0.9),
-                       batch_size=args.batch_size),
+                       batch_size=args.batch_size, remat=args.remat),
     )
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
     if args.start_model:

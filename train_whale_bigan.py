@@ -17,6 +17,9 @@ parser.add_argument("--output-path", type=str, default="")
 parser.add_argument("--checkpoint-every", type=int, default=10)
 parser.add_argument("--start-model", type=str, default=None)
 parser.add_argument("--d", type=int, default=64)
+parser.add_argument("--remat", action="store_true", default=False,
+                    help="rematerialize forwards in backward (saves HBM on the large spectrogram stacks)")
+parser.add_argument("--no-remat", dest="remat", action="store_false")
 parser.add_argument("--seed", type=int, default=0)
 
 if __name__ == "__main__":
@@ -45,7 +48,7 @@ if __name__ == "__main__":
     trainer = GANTrainer(
         model,
         GANTrainConfig(learning_rate=args.l_rate, betas=(0.5, 0.9),
-                       batch_size=args.batch_size),
+                       batch_size=args.batch_size, remat=args.remat),
     )
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
     if args.start_model:
