@@ -1,0 +1,31 @@
+#!/bin/bash
+# AudioMNIST quality battery with a real training budget (round-2
+# follow-on to tools/quality_battery.sh): BiGAN + VAE + attribute SCM +
+# digit classifier trained at d=64 on the synthetic stand-in (pass a
+# real AudioMNIST zip as $2 to reproduce the reference's setup), then
+# the CF-effectiveness and generation scores for both model families.
+# Artifacts land in .audio_battery/ (git-ignored).
+set -e
+cd "$(dirname "$0")/.."
+D=${1:-.audio_battery}
+ZIP=${2:-}
+EPOCHS=${EPOCHS:-300}
+ZIPFLAG=()
+[ -n "$ZIP" ] && ZIPFLAG=(--zip-path "$ZIP")
+mkdir -p "$D"
+
+python train_audio_mnist_bigan.py "${ZIPFLAG[@]}" --steps "$EPOCHS" \
+  --output-path "$D"
+python train_audio_mnist_attribute_scm.py "${ZIPFLAG[@]}" --steps 2000 \
+  --output-path "$D"
+python train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute digit \
+  --epochs 30 --output-path "$D"
+python train_audio_mnist_vae.py "${ZIPFLAG[@]}" --steps 100 --output-path "$D"
+
+echo "=== BiGAN CF score (digit) ==="
+python audiomnist_bigan_score.py "${ZIPFLAG[@]}" --model-dir "$D"
+echo "=== VAE CF score (digit) ==="
+python audiomnist_vae_score.py "${ZIPFLAG[@]}" --model-dir "$D"
+echo "=== generator scores ==="
+python audiomnist_generator_score.py --model-dir "$D"
+python audiomnist_vae_generator_score.py --model-dir "$D"
