@@ -11,6 +11,12 @@ import os
 parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("-m", "--image-model", type=str, default=None,
+                    help="explicit BiGAN checkpoint path (reference "
+                         "mnist_bigan_score.py -m flag); defaults to "
+                         "<model-dir>/mnist-bigan.tar")
+parser.add_argument("-a", "--attribute-model", type=str, default=None)
+parser.add_argument("-c", "--classifier", type=str, default=None)
 parser.add_argument("--batch-size", type=int, default=512)
 parser.add_argument("--mc-rounds", type=int, default=1)
 parser.add_argument("--limit", type=int, default=4096)
@@ -39,9 +45,16 @@ if __name__ == "__main__":
     x, attrs, _ = load_mnist_training_data(args.data_dir, split)
     x, attrs = x[: args.limit], {k: np.asarray(v)[: args.limit] for k, v in attrs.items()}
 
-    tree, scaler, _ = load_bigan(os.path.join(args.model_dir, "mnist-bigan.tar"))
-    scm = load_attribute_scm(os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
-    clf_tree, _ = load_checkpoint(os.path.join(args.model_dir, "mnist_clf.tar"))
+    tree, scaler, _ = load_bigan(
+        args.image_model or os.path.join(args.model_dir, "mnist-bigan.tar")
+    )
+    scm = load_attribute_scm(
+        args.attribute_model
+        or os.path.join(args.model_dir, "mnist-attribute-scm.tar")
+    )
+    clf_tree, _ = load_checkpoint(
+        args.classifier or os.path.join(args.model_dir, "mnist_clf.tar")
+    )
     clf = CNNClassifier(mnist_classifier_config())
     clf_fn = jax.jit(lambda im: clf.apply({"params": clf_tree["params"]}, im))
 

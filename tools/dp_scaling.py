@@ -104,15 +104,20 @@ def main():
     args = ap.parse_args()
 
     out = {"host_devices": len(jax.devices()),
+           "host_cores": os.cpu_count(),
            "note": "virtual CPU devices share host cores; shape, not speed"}
+    # emit each row as it lands so a cut-short run still yields data
     for n in (1, 2, 4, 8):
         sps = measure(n, args.global_batch, args.n_data, args.epochs)
-        out[f"strong_b{args.global_batch}_n{n}_steps_per_sec"] = round(sps, 2)
+        key = f"strong_b{args.global_batch}_n{n}_steps_per_sec"
+        out[key] = round(sps, 2)
+        print(f"[row] {key} = {out[key]}", flush=True)
     for n in (1, 2, 4, 8):
         sps = measure(n, args.per_device_batch * n, args.n_data, args.epochs)
-        out[f"weak_b{args.per_device_batch}x{n}_steps_per_sec"] = round(sps, 2)
-        out[f"weak_b{args.per_device_batch}x{n}_img_per_sec"] = round(
-            sps * args.per_device_batch * n, 1)
+        key = f"weak_b{args.per_device_batch}x{n}"
+        out[f"{key}_steps_per_sec"] = round(sps, 2)
+        out[f"{key}_img_per_sec"] = round(sps * args.per_device_batch * n, 1)
+        print(f"[row] {key} = {out[f'{key}_steps_per_sec']} steps/s", flush=True)
     print(json.dumps(out, indent=2))
 
 

@@ -22,8 +22,16 @@ ap.add_argument("--limit", type=int, default=8192)
 args = ap.parse_args()
 
 sys.path.insert(0, "/root/reference")
+import types  # noqa: E402
+
 import numpy as np  # noqa: E402
 import torch  # noqa: E402
+
+# the reference's training_utils imports pytorch_msssim at module level;
+# the MNIST train loop never calls ssim, so a stub suffices offline
+_msssim = types.ModuleType("pytorch_msssim")
+_msssim.ssim = lambda *a, **k: torch.zeros(())
+sys.modules.setdefault("pytorch_msssim", _msssim)
 
 from image_scms.mnist import train  # noqa: E402
 
