@@ -213,18 +213,34 @@ class AudioMNISTData:
                 accent = "english"
             age = int(srng.integers(20, 61))
             gender = "male" if srng.uniform() < 0.6 else "female"
-            base_f = 90.0 + 3.0 * subject
+            # subject identity lives in timbre (harmonic amplitude profile
+            # + a small pitch offset), NOT in the class-defining
+            # fundamental: an earlier design used
+            # f = (90 + 3*subject)*(1 + 0.35*digit), which confounds digit
+            # with subject (overlapping frequency ranges across digits) and
+            # caps any digit classifier near chance on held-out runs.
+            a2 = 0.25 + 0.5 * srng.uniform()
+            a3 = 0.10 + 0.35 * srng.uniform()
+            pitch_shift = 1.0 + 0.02 * srng.normal()
             for dig in range(10):
-                f = base_f * (1.0 + 0.35 * dig)
+                # digit -> fixed fundamental (150..690 Hz, well under the
+                # 4 kHz Nyquist) + digit-dependent burst count, mimicking
+                # how spoken digits differ in phoneme structure
+                f = 150.0 * (1.0 + 0.40 * dig) * pitch_shift
+                n_bursts = 1 + dig % 3
                 for run in range(runs):
                     rr = np.random.default_rng(seed * 100000 + subject * 100 + dig * 10 + run)
                     dur = int(N_SAMPLES * rr.uniform(0.5, 0.95))
                     env = np.hanning(dur)
+                    if n_bursts > 1:
+                        env = env * (
+                            1.0 - 0.85 * np.sin(np.pi * n_bursts * np.arange(dur) / dur) ** 2
+                        )
                     sig = np.zeros(N_SAMPLES, np.float32)
                     tone = (
                         np.sin(2 * np.pi * f * t[:dur])
-                        + 0.5 * np.sin(2 * np.pi * 2 * f * t[:dur])
-                        + 0.25 * np.sin(2 * np.pi * 3 * f * t[:dur])
+                        + a2 * np.sin(2 * np.pi * 2 * f * t[:dur])
+                        + a3 * np.sin(2 * np.pi * 3 * f * t[:dur])
                     )
                     sig[:dur] = (env * tone + 0.02 * rr.normal(0, 1, dur)).astype(np.float32)
                     raw["audio"].append(sig)

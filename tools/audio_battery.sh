@@ -14,8 +14,10 @@ ZIPFLAG=()
 [ -n "$ZIP" ] && ZIPFLAG=(--zip-path "$ZIP")
 mkdir -p "$D"
 
+# checkpoint only at the end: the d=64 state is ~0.5 GB and this host
+# serializes msgpack on one core — periodic saves would dominate wall time
 python train_audio_mnist_bigan.py "${ZIPFLAG[@]}" --steps "$EPOCHS" \
-  --output-path "$D"
+  --checkpoint-every "$EPOCHS" --output-path "$D"
 python train_audio_mnist_attribute_scm.py "${ZIPFLAG[@]}" --steps 2000 \
   --output-path "$D"
 python train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute digit \

@@ -21,6 +21,13 @@ parser.add_argument("--l-rate", type=float, default=1e-4)
 parser.add_argument("--output-path", type=str, default="")
 parser.add_argument("--checkpoint-every", type=int, default=10)
 parser.add_argument("--d", type=int, default=64, help="channel multiplier")
+parser.add_argument("--init-std", type=float, default=None,
+                    help="conv init std override. The reference's 0.001 "
+                         "(image_scms/audio_mnist.py:33-38) is the default; "
+                         "with no batch-norm in the audio D the game spends "
+                         "many thousand steps at D(..)=0.5 before activations "
+                         "grow out of the near-zero init ('incubation'); "
+                         "0.01 escapes immediately")
 parser.add_argument("--seed", type=int, default=0)
 
 if __name__ == "__main__":
@@ -42,7 +49,12 @@ if __name__ == "__main__":
     x, attrs, stats = prepare_training_arrays(data)
     print(f"training on {len(x)} spectrograms")
 
-    model = BiGAN(audio_mnist_bigan_config(d=args.d))
+    cfg = audio_mnist_bigan_config(d=args.d)
+    if args.init_std is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, init_std=args.init_std)
+    model = BiGAN(cfg)
     trainer = GANTrainer(
         model,
         GANTrainConfig(
