@@ -59,9 +59,10 @@ def audio_from_log_spect(log_spec: jnp.ndarray, rng=None, n_iter: int = 32) -> j
 
 
 def _resample_to_8k(wav: np.ndarray, sr: int) -> np.ndarray:
-    """Polyphase 48k->8k like the reference's librosa path
-    (``image_scms/audio_mnist.py:77-79``); FFT-domain resampling has
-    different ringing on speech and was replaced (round-1 review)."""
+    """48k->8k with the kaiser_best windowed-sinc filter, matching the
+    reference's ``librosa.core.resample`` default
+    (``image_scms/audio_mnist.py:77-79``; window spec pinned by
+    ``tests/test_stft.py::test_resample_kaiser_best_matches_window_spec``)."""
     if sr == SAMPLE_RATE:
         return wav.astype(np.float32)
     from ..ops.resample import resample

@@ -2,13 +2,18 @@
 
 The reference resamples AudioMNIST wavs 48 kHz -> 8 kHz with
 ``librosa.core.resample`` (``image_scms/audio_mnist.py:77-79``), whose
-backend is a polyphase FIR resampler. Round 1 used FFT-domain
-``scipy.signal.resample``, which has different ringing/aliasing behaviour
-on speech — a parity deviation flagged by the round-1 review. This is a
-from-scratch polyphase implementation (Kaiser-windowed sinc low-pass +
-zero-stuff/filter/decimate) matching ``scipy.signal.resample_poly``'s
-default semantics exactly (window=('kaiser', 5.0), 10*max_rate taps per
-side, centered filter delay); tests pin it against the scipy golden.
+default backend in the reference's era is resampy's ``kaiser_best``
+windowed-sinc filter. Two from-scratch polyphase kernels live here:
+
+- :func:`resample_kaiser_best` — resampy's published kaiser_best spec
+  (64 zero-crossings/side, Kaiser beta 14.7697, roll-off 0.9475),
+  evaluated exactly rather than via resampy's interpolated table; this is
+  the AudioMNIST ingest default (last audio parity deviation, VERDICT r2
+  item 7). Tests pin it against a brute-force evaluation of the window
+  definition plus spectral pass/stop-band checks.
+- :func:`resample_poly` — matches ``scipy.signal.resample_poly``'s
+  default semantics exactly (window=('kaiser', 5.0), 10*max_rate taps per
+  side, centered filter delay); tests pin it against the scipy golden.
 
 Resampling runs once per wav at dataset ingest on the host; it is not a
 TPU-path op, so plain numpy is the right tool (SURVEY §2.9 table).
@@ -62,9 +67,75 @@ def resample_poly(x: np.ndarray, up: int, down: int, beta: float = 5.0) -> np.nd
     return out.reshape(x.shape[:-1] + (n_out,))
 
 
-def resample(wav: np.ndarray, sr_in: int, sr_out: int, beta: float = 5.0) -> np.ndarray:
-    """Rate-to-rate convenience wrapper (e.g. 48000 -> 8000)."""
+# resampy's published "kaiser_best" interpolation-window spec — the filter
+# behind ``librosa.core.resample``'s default res_type in the era of the
+# reference (image_scms/audio_mnist.py:77-79): a Kaiser-tapered sinc with
+# 64 zero-crossings per side, beta 14.7697, pass-band roll-off 0.9475 of
+# the output Nyquist.
+KAISER_BEST = {"num_zeros": 64, "beta": 14.769656459379492, "rolloff": 0.9475}
+
+
+def _kaiser_taper(u: np.ndarray, beta: float) -> np.ndarray:
+    """Continuous Kaiser window I0(beta*sqrt(1-u^2))/I0(beta) on |u|<=1."""
+    u = np.clip(u, -1.0, 1.0)
+    return np.i0(beta * np.sqrt(1.0 - u * u)) / np.i0(beta)
+
+
+def resample_kaiser_best(x: np.ndarray, up: int, down: int) -> np.ndarray:
+    """Resample by up/down with resampy's kaiser_best windowed-sinc filter.
+
+    This evaluates the continuous kaiser_best kernel exactly at every
+    needed offset (resampy itself linearly interpolates a 2**9-dense
+    precomputed table of the same kernel — exact evaluation differs only
+    by that table-quantization error). Output time grid and length follow
+    librosa: sample k at input time k*down/up, ceil(n*up/down) samples.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    g = gcd(up, down)
+    up //= g
+    down //= g
+    if up == 1 and down == 1:
+        return x.copy()
+    nz = KAISER_BEST["num_zeros"]
+    beta = KAISER_BEST["beta"]
+    roll = KAISER_BEST["rolloff"]
+    # When downsampling the kernel stretches by 1/scale (cutoff tracks the
+    # *output* Nyquist) and the amplitude scales by `scale` so DC gain
+    # stays 1 (resampy's `interp_win *= scale`).
+    scale = min(up / down, 1.0)
+    # Prototype on the up-rate grid (spacing 1/up input samples): support
+    # |scale*t| <= num_zeros.
+    half = int(np.ceil(nz * up / scale))
+    j = np.arange(-half, half + 1, dtype=np.float64)
+    t = j / up  # input-sample units
+    h = scale * roll * np.sinc(roll * scale * t) * _kaiser_taper(scale * t / nz, beta)
+
+    n = x.shape[-1]
+    n_out = -(-n * up // down)  # ceil, librosa's output-length convention
+    batch = x.reshape((-1, n))
+    out = np.empty((batch.shape[0], n_out), dtype=np.float64)
+    for i, row in enumerate(batch):
+        xu = np.zeros(n * up, dtype=np.float64)
+        xu[::up] = row
+        y = np.convolve(xu, h)
+        out[i] = y[half : half + n_out * down : down]
+    return out.reshape(x.shape[:-1] + (n_out,))
+
+
+def resample(
+    wav: np.ndarray, sr_in: int, sr_out: int, beta: float = 5.0,
+    filter: str = "kaiser_best",
+) -> np.ndarray:
+    """Rate-to-rate convenience wrapper (e.g. 48000 -> 8000).
+
+    ``filter="kaiser_best"`` (default) reproduces the reference's librosa
+    resampling path; ``filter="scipy"`` keeps the scipy
+    ``resample_poly``-parity kernel (window=('kaiser', beta))."""
     if sr_in == sr_out:
         return np.asarray(wav, dtype=np.float64).copy()
     g = gcd(sr_in, sr_out)
-    return resample_poly(wav, sr_out // g, sr_in // g, beta=beta)
+    if filter == "kaiser_best":
+        return resample_kaiser_best(wav, sr_out // g, sr_in // g)
+    if filter == "scipy":
+        return resample_poly(wav, sr_out // g, sr_in // g, beta=beta)
+    raise ValueError(f"unknown filter {filter!r}")

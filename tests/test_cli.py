@@ -104,3 +104,14 @@ def test_dataset_synthesis_small(tmp_path):
     assert np.allclose(a[:, :10].sum(axis=1), 1.0)
     assert (a[:, 10] > 0).all()
     assert (a[:, 11] > 50).all() and (a[:, 11] < 260).all()
+
+
+def test_perf_docs_in_sync():
+    """Every TPU perf number in the docs must come from the latest bench
+    record (VERDICT r2 item 6: single source of truth for perf numbers).
+    tools/perf_report.py --check fails if a generated block is stale."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "perf_report.py"), "--check"],
+        capture_output=True, text=True, timeout=60, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -169,10 +169,82 @@ def test_resample_poly_matches_scipy():
         assert ours.shape == ref.shape, (up, down, ours.shape, ref.shape)
         assert np.allclose(ref, ours, atol=1e-9), (
             up, down, np.abs(ref - ours).max())
-    # 48k -> 8k wrapper used by the AudioMNIST loader
+    # 48k -> 8k wrapper in scipy-parity mode
     ref = ss.resample_poly(x, 1, 6)
-    ours = resample(x, 48000, 8000)
+    ours = resample(x, 48000, 8000, filter="scipy")
     assert np.allclose(ref, ours, atol=1e-9)
+
+
+def test_resample_kaiser_best_matches_window_spec():
+    """The default (librosa-parity) resampler vs a brute-force evaluation
+    of resampy's published kaiser_best kernel: 64 zero-crossings/side,
+    Kaiser beta 14.7697, roll-off 0.9475 (VERDICT r2 item 7). The brute
+    force computes y[k] = sum_m x[m] * h(k*down/up - m) directly from the
+    continuous window definition, independent of the polyphase machinery."""
+    from imagecfgen_tpu.ops.resample import (
+        KAISER_BEST, _kaiser_taper, resample)
+
+    rng = np.random.default_rng(3)
+    n = 1200
+    x = rng.normal(0, 1, n)
+
+    def brute(x, up, down):
+        nz, beta, roll = (KAISER_BEST["num_zeros"], KAISER_BEST["beta"],
+                          KAISER_BEST["rolloff"])
+        scale = min(up / down, 1.0)
+        n_out = -(-len(x) * up // down)
+        y = np.zeros(n_out)
+        m = np.arange(len(x))
+        for k in range(n_out):
+            t = k * down / up - m
+            u = scale * t / nz
+            inside = np.abs(u) <= 1.0
+            h = np.where(
+                inside,
+                scale * roll * np.sinc(roll * scale * t)
+                * _kaiser_taper(u, beta),
+                0.0,
+            )
+            y[k] = (x * h).sum()
+        return y
+
+    for up, down in [(1, 6), (2, 3), (3, 2)]:
+        ref = brute(x, up, down)
+        ours = resample(x, 8000 * down, 8000 * up)
+        assert ours.shape == ref.shape
+        assert np.allclose(ref, ours, atol=1e-12), np.abs(ref - ours).max()
+
+
+def test_resample_kaiser_best_spectral():
+    """Spectral behaviour of the kaiser_best path on 48k->8k: pass-band
+    tones survive at unity gain, tones above the output Nyquist are
+    suppressed into the Kaiser beta=14.77 stop-band (>=100 dB)."""
+    from imagecfgen_tpu.ops.resample import resample
+
+    sr_in, sr_out = 48000, 8000
+    t = np.arange(sr_in) / sr_in
+
+    def tone_gain(f):
+        x = np.sin(2 * np.pi * f * t)
+        y = resample(x, sr_in, sr_out)
+        w = np.hanning(len(y))
+        spec = np.abs(np.fft.rfft(y * w))
+        f_alias = min(f % sr_out, sr_out - (f % sr_out))
+        k = int(round(f_alias * len(y) / sr_out))
+        lo, hi = max(k - 2, 0), min(k + 3, len(spec))
+        # reference peak: a unit-amplitude tone of the same length/rate
+        t8 = np.arange(len(y)) / sr_out
+        ref = np.abs(np.fft.rfft(np.sin(2 * np.pi * max(f_alias, 440) * t8) * w)).max()
+        return spec[lo:hi].max() / ref
+
+    # pass-band (below rolloff * 4 kHz = 3.79 kHz): unity gain
+    for f in (440, 2000, 3500):
+        g = tone_gain(f)
+        assert 0.97 < g < 1.03, (f, g)
+    # stop-band: a 5.5 kHz tone would alias to 2.5 kHz; must be crushed
+    for f in (5500, 9000):
+        g = tone_gain(f)
+        assert g < 1e-5, (f, g)  # >= 100 dB rejection
 
 
 def test_resample_preserves_tone():

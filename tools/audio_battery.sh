@@ -9,20 +9,27 @@ set -e
 cd "$(dirname "$0")/.."
 D=${1:-.audio_battery}
 ZIP=${2:-}
+# NOTE: the published battery numbers (RESULTS.md, verify SKILL.md) were
+# produced with EPOCHS=2400; the smaller default keeps an exploratory run
+# affordable on this 1-core host but will NOT reproduce those metrics.
 EPOCHS=${EPOCHS:-300}
+VAE_EPOCHS=${VAE_EPOCHS:-100}
 ZIPFLAG=()
 [ -n "$ZIP" ] && ZIPFLAG=(--zip-path "$ZIP")
 mkdir -p "$D"
 
-# checkpoint only at the end: the d=64 state is ~0.5 GB and this host
-# serializes msgpack on one core — periodic saves would dominate wall time
+# checkpoint only at the end: the raw d=64 BiGAN train state is ~0.5 GB in
+# memory and ~1.4 GB as the serialized msgpack tar (params + both optimizer
+# states + spect stats); this host serializes on one core, so periodic saves
+# would dominate wall time. The same applies to the VAE below.
 python train_audio_mnist_bigan.py "${ZIPFLAG[@]}" --steps "$EPOCHS" \
   --checkpoint-every "$EPOCHS" --output-path "$D"
 python train_audio_mnist_attribute_scm.py "${ZIPFLAG[@]}" --steps 2000 \
   --output-path "$D"
 python train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute digit \
   --epochs 30 --output-path "$D"
-python train_audio_mnist_vae.py "${ZIPFLAG[@]}" --steps 100 --output-path "$D"
+python train_audio_mnist_vae.py "${ZIPFLAG[@]}" --steps "$VAE_EPOCHS" \
+  --checkpoint-every "$VAE_EPOCHS" --output-path "$D"
 
 echo "=== BiGAN CF score (digit) ==="
 python audiomnist_bigan_score.py "${ZIPFLAG[@]}" --model-dir "$D"
