@@ -22,7 +22,8 @@ Extra fields: bf16 batch-256 throughput config, AudioMNIST BiGAN
 (128^2, d=64) steps/sec, and abduct-act-predict CF images/sec.
 
 Set BENCH_SKIP_TORCH=1 to reuse the cached torch baseline;
-BENCH_FAST=1 skips the audio model and the throughput config.
+BENCH_FAST=1 skips everything but the primary MNIST metric and CF
+throughput (no bf16 throughput config, no audio/whale/ESRF models).
 """
 from __future__ import annotations
 
@@ -155,6 +156,44 @@ def measure_audio_train():
     )
 
 
+def measure_whale_train():
+    """Whale-call BiGAN 256^2 at full width (d=64), reference batch 32
+    (whalecalls.py:390-399), f32."""
+    from imagecfgen_tpu.models.bigan import whale_bigan_config
+
+    def data_fn(n):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, (n, 256, 256, 1)).astype(np.float32)
+        return x, {"call_type": np.eye(3, dtype=np.float32)[rng.integers(0, 3, n)]}
+
+    return _measure_bigan(
+        (whale_bigan_config(), data_fn), 32, 128, 6, betas=(0.5, 0.9)
+    )
+
+
+def measure_esrf_train():
+    """ESRF BiGAN 512^2 at full width, reference batch 64
+    (esrf_acoustic.py:263-272), bf16 compute (f32 also fits — 15.5 GB
+    peak vs 15.1; see docs/PERF.md large-model table)."""
+    import jax.numpy as jnp
+
+    from imagecfgen_tpu.models.bigan import esrf_bigan_config
+
+    def data_fn(n):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, (n, 512, 512, 1)).astype(np.float32)
+        attrs = {
+            "has_boat": np.eye(2, dtype=np.float32)[rng.integers(0, 2, n)],
+            "closest_boat": rng.uniform(-1, 1, n).astype(np.float32),
+        }
+        return x, attrs
+
+    return _measure_bigan(
+        (esrf_bigan_config(compute_dtype=jnp.bfloat16), data_fn),
+        64, 128, 3, betas=(0.5, 0.9),
+    )
+
+
 def measure_cf_throughput() -> float:
     """Batched abduct-act-predict images/sec on the full MNIST BiGAN: the
     whole attribute-CF + E + G chain as one jitted program
@@ -284,7 +323,7 @@ def _watchdog(seconds: int):
 
 
 def main():
-    _watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", "1500")))
+    _watchdog(int(os.environ.get("BENCH_WATCHDOG_SECS", "2100")))
     gen = _chip_gen()
     peak = PEAK_FLOPS.get(gen, 197e12)
     ours, flops, nbytes = measure_mnist_train()  # primary: let failures surface
@@ -292,6 +331,8 @@ def main():
     fast = os.environ.get("BENCH_FAST")
     tput = None if fast else _safe(measure_mnist_throughput, "bf16 throughput")
     audio = None if fast else _safe(measure_audio_train, "audio train")
+    whale = None if fast else _safe(measure_whale_train, "whale train")
+    esrf = None if fast else _safe(measure_esrf_train, "esrf train")
     base = measure_torch_baseline()
     ratio = ours / base if base == base else None
     record = {
@@ -324,6 +365,18 @@ def main():
         record["cf_images_per_sec"] = round(cf_ips, 1)
     if audio is not None:
         record["audio_bigan_steps_per_sec"] = round(audio[0], 2)
+    if whale is not None:
+        sps, fl, _ = whale
+        record["whale_bigan_steps_per_sec"] = round(sps, 2)
+        record["whale_batch_size"], record["whale_dtype"] = 32, "f32"
+        if fl == fl:
+            record["whale_mfu_pct"] = round(100 * sps * fl / peak, 1)
+    if esrf is not None:
+        sps, fl, _ = esrf
+        record["esrf_bigan_steps_per_sec"] = round(sps, 2)
+        record["esrf_batch_size"], record["esrf_dtype"] = 64, "bf16"
+        if fl == fl:
+            record["esrf_mfu_pct"] = round(100 * sps * fl / peak, 1)
     json.dump(record, open(LAST_GOOD, "w"))
     print(json.dumps(record))
     sys.stdout.flush()

@@ -21,6 +21,9 @@ parser.add_argument("--seed", type=int, default=1)
 parser.add_argument("--scale", type=int, default=16)
 parser.add_argument("--workers", type=int, default=max(os.cpu_count() - 1, 1))
 parser.add_argument("--limit", type=int, default=None)
+parser.add_argument("--noise-std", type=float, default=0.0,
+                    help="additive Gaussian pixel noise (0-255 scale); match "
+                         "the train split's value for the hard battery mode")
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -58,6 +61,12 @@ if __name__ == "__main__":
     )
     if pool is not None:
         pool.close()
+
+    if args.noise_std > 0:
+        noise_rng = np.random.default_rng(args.seed + 7920)
+        x = np.clip(
+            x + noise_rng.normal(0.0, args.noise_std, x.shape), 0, 255
+        ).astype(np.float32)
 
     os.makedirs(args.out_dir or ".", exist_ok=True)
     np.save(os.path.join(args.out_dir, "mnist-x-test.npy"), x)

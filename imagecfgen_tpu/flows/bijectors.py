@@ -313,6 +313,148 @@ class SplineT(Bijector):
 
 
 @dataclasses.dataclass(frozen=True)
+class LinearRationalSplineT(Bijector):
+    """Element-wise monotone *linear*-rational spline (Dolatabadi et al.
+    2020), identity tails outside [-bound, bound].
+
+    This is the ``order="linear"`` variant that pyro's ``Spline`` uses by
+    default (``attribute_scms/mnist.py:37`` constructs ``T.Spline(1)`` with
+    default order) — each bin splits at a learnable interior point
+    lambda into two linear-rational segments. Parameter constraints follow
+    the published spec (and pyro's layout, for checkpoint ingestion):
+    softmax widths/heights with min-bin 1e-3, softplus derivatives with
+    min 1e-3 and boundary derivatives pinned to 1,
+    ``lambda = 0.025 + 0.95 * sigmoid(unnormalized_lambda)``.
+
+    The segment weights are fixed by the knot-interpolation conditions
+    (value/derivative continuity at the knots; ``w_a = 1``,
+    ``w_b = sqrt(d_k / d_{k+1})``), which the property tests verify
+    numerically.
+    """
+
+    dim: int = 1
+    count_bins: int = 8
+    bound: float = 3.0
+    min_bin: float = 1e-3
+    min_deriv: float = 1e-3
+
+    def init(self, rng):
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        params = {
+            "widths": 1e-2 * jax.random.normal(k1, (self.dim, self.count_bins)),
+            "heights": 1e-2 * jax.random.normal(k2, (self.dim, self.count_bins)),
+            "derivs": 1e-2 * jax.random.normal(k3, (self.dim, self.count_bins - 1)),
+            "lambdas": 1e-2 * jax.random.normal(k4, (self.dim, self.count_bins)),
+        }
+        return params, {}
+
+    def _knots(self, params):
+        B = self.bound
+        w = jax.nn.softmax(params["widths"], axis=-1)
+        h = jax.nn.softmax(params["heights"], axis=-1)
+        w = self.min_bin + (1 - self.min_bin * self.count_bins) * w
+        h = self.min_bin + (1 - self.min_bin * self.count_bins) * h
+        cw = jnp.concatenate(
+            [jnp.zeros((self.dim, 1)), jnp.cumsum(w, axis=-1)], axis=-1
+        ) * 2 * B - B
+        ch = jnp.concatenate(
+            [jnp.zeros((self.dim, 1)), jnp.cumsum(h, axis=-1)], axis=-1
+        ) * 2 * B - B
+        d = self.min_deriv + jax.nn.softplus(params["derivs"])
+        ones = jnp.ones((self.dim, 1))
+        d = jnp.concatenate([ones, d, ones], axis=-1)  # (dim, K+1)
+        lam = 0.025 + 0.95 * jax.nn.sigmoid(params["lambdas"])  # (dim, K)
+        return cw, ch, d, lam
+
+    def _lrs(self, params, v, inverse: bool):
+        cw, ch, d, lam = self._knots(params)
+        B = self.bound
+        inside = (v > -B) & (v < B)
+        v_in = jnp.clip(v, -B + 1e-6, B - 1e-6)
+
+        knots_in = ch if inverse else cw
+        idx = jax.vmap(
+            lambda kn, col: jnp.searchsorted(kn, col, side="right") - 1,
+            in_axes=(0, 1), out_axes=1,
+        )(knots_in, v_in)
+        idx = jnp.clip(idx, 0, self.count_bins - 1)
+
+        def take(tbl, i):
+            return jax.vmap(lambda t, ii: t[ii], in_axes=(0, 1), out_axes=1)(tbl, i)
+
+        xk, xk1 = take(cw, idx), take(cw, idx + 1)
+        yk, yk1 = take(ch, idx), take(ch, idx + 1)
+        dk, dk1 = take(d, idx), take(d, idx + 1)
+        lm = take(lam, idx)
+        wbin = xk1 - xk
+        hbin = yk1 - yk
+        s = hbin / wbin
+
+        # segment weights from the interpolation conditions:
+        #   g'(theta=0)/wbin = dk,  g'(theta=1)/wbin = dk1
+        wa = 1.0
+        wb = jnp.sqrt(dk / dk1) * wa
+        wc = (lm * wa * dk + (1 - lm) * wb * dk1) / s
+        yc = ((1 - lm) * wa * yk + lm * wb * yk1) / ((1 - lm) * wa + lm * wb)
+
+        if not inverse:
+            theta = (v_in - xk) / wbin
+            left = theta <= lm
+            num = jnp.where(
+                left,
+                wa * yk * (lm - theta) + wc * yc * theta,
+                wc * yc * (1 - theta) + wb * yk1 * (theta - lm),
+            )
+            den = jnp.where(
+                left,
+                wa * (lm - theta) + wc * theta,
+                wc * (1 - theta) + wb * (theta - lm),
+            )
+            out = num / den
+            dnum = jnp.where(
+                left, wa * wc * lm * (yc - yk), wb * wc * (1 - lm) * (yk1 - yc)
+            )
+            # dy/dx = dnum / den^2 / wbin
+            logdet = jnp.log(dnum) - 2 * jnp.log(jnp.abs(den)) - jnp.log(wbin)
+        else:
+            y = v_in
+            left = y <= yc
+            theta = jnp.where(
+                left,
+                wa * lm * (y - yk) / (wc * yc - wa * yk - y * (wc - wa)),
+                (wc * yc - lm * wb * yk1 - y * (wc - lm * wb))
+                / (wc * yc - wb * yk1 - y * (wc - wb)),
+            )
+            theta = jnp.clip(theta, 0.0, 1.0)
+            out = xk + theta * wbin
+            den = jnp.where(
+                left,
+                wa * (lm - theta) + wc * theta,
+                wc * (1 - theta) + wb * (theta - lm),
+            )
+            dnum = jnp.where(
+                left, wa * wc * lm * (yc - yk), wb * wc * (1 - lm) * (yk1 - yc)
+            )
+            logdet = -(jnp.log(dnum) - 2 * jnp.log(jnp.abs(den)) - jnp.log(wbin))
+
+        out = jnp.where(inside, out, v)
+        logdet = jnp.where(inside, logdet, 0.0)
+        return out, logdet
+
+    def forward(self, params, x, context=None, state=None, train=False):
+        squeeze = x.ndim == 1
+        xv = x[:, None] if squeeze else x
+        y, ld = self._lrs(params, xv, inverse=False)
+        return (y[:, 0] if squeeze else y), _sum_batch(ld), state
+
+    def inverse(self, params, y, context=None, state=None, train=False):
+        squeeze = y.ndim == 1
+        yv = y[:, None] if squeeze else y
+        x, ld = self._lrs(params, yv, inverse=True)
+        return (x[:, 0] if squeeze else x), _sum_batch(ld), state
+
+
+@dataclasses.dataclass(frozen=True)
 class Chain(Bijector):
     """Composition: forward applies bijectors in order (base -> data),
     matching the transform-list order of the reference's

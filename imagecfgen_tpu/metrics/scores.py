@@ -73,18 +73,28 @@ def generator_score(
     n: int = 1024,
     latent_dim: int = 512,
     class_attr: str = "digit",
+    attrs: Optional[Mapping[str, jnp.ndarray]] = None,
 ) -> float:
-    """Classifier accuracy on generated samples G(z, a), a ~ attribute SCM
-    (reference ``mnist_generator_score.py:63-76``)."""
+    """Classifier accuracy on generated samples G(z, a).
+
+    ``attrs=None`` draws a ~ attribute SCM; passing ``attrs`` (model
+    convention, raw units) scores on those instead — the reference's own
+    semantics, which iterates the *test-set* attributes
+    (``mnist_generator_score.py:63-76``)."""
     k1, k2, rng = jax.random.split(rng, 3)
-    samp = scm.sample(k1, n=n)
-    attrs = {}
-    for a in scaler.spec:
-        v = samp[a.name]
-        if a.is_categorical:
-            attrs[a.name] = jax.nn.one_hot(v.reshape((-1,)).astype(jnp.int32), a.n_categories)
-        else:
-            attrs[a.name] = v.reshape((-1,))
+    if attrs is None:
+        samp = scm.sample(k1, n=n)
+        attrs = {}
+        for a in scaler.spec:
+            v = samp[a.name]
+            if a.is_categorical:
+                attrs[a.name] = jax.nn.one_hot(
+                    v.reshape((-1,)).astype(jnp.int32), a.n_categories)
+            else:
+                attrs[a.name] = v.reshape((-1,))
+    else:
+        attrs = {k: jnp.asarray(v) for k, v in attrs.items()}
+        n = attrs[class_attr].shape[0]
     a_scaled = scaler.scale(attrs)
     z = jax.random.normal(k2, (n, 1, 1, latent_dim))
     gx = generate_fn(z, a_scaled)

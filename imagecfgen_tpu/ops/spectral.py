@@ -37,10 +37,18 @@ class SpectStats:
     def compute(spects: jnp.ndarray, stds_kept: float = 3.0) -> "SpectStats":
         """``spects``: (N, F, T) log-spectrograms. Stats reduce over
         (sample, frequency) leaving per-time-column stats, matching the
-        reference's ``mean(dim=(0, 1))`` (``image_scms/audio_mnist.py:353-354``)."""
+        reference's ``mean(dim=(0, 1))`` (``image_scms/audio_mnist.py:353-354``).
+
+        Variance is two-pass ``E[(X - mean)^2]`` rather than the
+        reference's streaming ``E[X^2] - E[X]^2``: on near-constant
+        columns (the STFT pad region) the one-pass form is
+        cancellation-dominated in f32 and its value depends on the
+        cross-device reduction order, breaking 1-vs-N-mesh
+        reproducibility (``compute_batched`` keeps the reference's
+        streaming semantics for the host path)."""
         mean = spects.mean(axis=(0, 1)).reshape((1, 1, -1))
-        ss = (spects**2).mean(axis=(0, 1)).reshape((1, 1, -1))
-        std = jnp.sqrt(jnp.maximum(ss - mean**2, 0.0))
+        var = ((spects - mean) ** 2).mean(axis=(0, 1)).reshape((1, 1, -1))
+        std = jnp.sqrt(var)
         return SpectStats(mean, std, stds_kept)
 
     @staticmethod

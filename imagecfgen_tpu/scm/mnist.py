@@ -21,7 +21,15 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..flows.bijectors import AffineT, BatchNormFlow, ConditionalAffineT, ExpT, SigmoidT, SplineT
+from ..flows.bijectors import (
+    AffineT,
+    BatchNormFlow,
+    ConditionalAffineT,
+    ExpT,
+    LinearRationalSplineT,
+    SigmoidT,
+    SplineT,
+)
 from ..flows.distributions import FlowDist, Normal
 from .graph import CausalGraph
 from .module import CategoricalCM, FlowCM
@@ -32,24 +40,34 @@ def build_mnist_graph(
     intensity_max: float,
     slant_min: float,
     slant_max: float,
+    cond_hidden: Tuple[int, ...] = (32, 32),
+    spline: str = "rq",
 ) -> CausalGraph:
+    """``cond_hidden``/``spline`` parametrize the mechanism architectures:
+    the defaults are this framework's fit configuration; converted legacy
+    checkpoints use pyro's (``cond_hidden=(10,)`` — the
+    ``conditional_affine_autoregressive(1, 1)`` hypernet width — and
+    ``spline="linear"``, pyro Spline's default order)."""
     g = CausalGraph()
     thickness = FlowCM(FlowDist.create(Normal(), [BatchNormFlow(dim=1), ExpT()]))
     intensity = FlowCM(
         FlowDist.create(
             Normal(),
             [
-                ConditionalAffineT(context_dim=1),
+                ConditionalAffineT(context_dim=1, hidden=tuple(cond_hidden)),
                 SigmoidT(),
                 AffineT(float(intensity_min), float(intensity_max - intensity_min)),
             ],
         ),
         conditional=True,
     )
+    spline_bij = (
+        LinearRationalSplineT(dim=1) if spline == "linear" else SplineT(dim=1)
+    )
     slant = FlowCM(
         FlowDist.create(
             Normal(),
-            [SplineT(dim=1), AffineT(float(slant_min), float(slant_max - slant_min))],
+            [spline_bij, AffineT(float(slant_min), float(slant_max - slant_min))],
         )
     )
     g.add_node("thickness", thickness)
@@ -80,9 +98,12 @@ class MNISTAttributeSCM:
         learning_rate: float = 1e-2,
         rng: jax.Array | None = None,
         log_every: int = 0,
+        cond_hidden: Tuple[int, ...] = (32, 32),
+        spline: str = "rq",
     ) -> "MNISTAttributeSCM":
         """``attrs``: dict with thickness/intensity/slant float arrays and
-        int (or one-hot) digit labels."""
+        int (or one-hot) digit labels. ``cond_hidden``/``spline`` select
+        the mechanism architectures (see :func:`build_mnist_graph`)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         t = np.asarray(attrs["thickness"], np.float32).reshape(-1, 1)
         i = np.asarray(attrs["intensity"], np.float32).reshape(-1, 1)
@@ -91,7 +112,10 @@ class MNISTAttributeSCM:
         if digit.ndim > 1:
             digit = digit.argmax(axis=1)
 
-        graph = build_mnist_graph(i.min(), i.max(), s.min(), s.max())
+        graph = build_mnist_graph(
+            i.min(), i.max(), s.min(), s.max(),
+            cond_hidden=cond_hidden, spline=spline,
+        )
         params, state = graph.init(rng)
         params["digit"] = CategoricalCM.fit_params(jnp.asarray(digit), 10)
 
@@ -160,9 +184,16 @@ class MNISTAttributeSCM:
     # ------------------------------------------------------------ persistence
 
     def state_dict(self) -> Dict:
-        # bounds are baked into the AffineT bijectors; recover them
-        aff_i: AffineT = self.graph.modules["intensity"].flow.chain.bijectors[2]
-        aff_s: AffineT = self.graph.modules["slant"].flow.chain.bijectors[1]
+        # bounds/arch are baked into the bijector dataclasses; recover them
+        mods = self.graph.modules
+        aff_i: AffineT = mods["intensity"].flow.chain.bijectors[2]
+        aff_s: AffineT = mods["slant"].flow.chain.bijectors[1]
+        cond: ConditionalAffineT = mods["intensity"].flow.chain.bijectors[0]
+        spline_kind = (
+            "linear"
+            if isinstance(mods["slant"].flow.chain.bijectors[0], LinearRationalSplineT)
+            else "rq"
+        )
         return {
             "params": jax.device_get(self.params),
             "state": jax.device_get(self.state),
@@ -170,11 +201,17 @@ class MNISTAttributeSCM:
                 "intensity": (aff_i.loc, aff_i.scale),
                 "slant": (aff_s.loc, aff_s.scale),
             },
+            "arch": {"cond_hidden": tuple(cond.hidden), "spline": spline_kind},
         }
 
     @staticmethod
     def from_state_dict(sd: Mapping) -> "MNISTAttributeSCM":
         (i_lo, i_rng) = sd["bounds"]["intensity"]
         (s_lo, s_rng) = sd["bounds"]["slant"]
-        graph = build_mnist_graph(i_lo, i_lo + i_rng, s_lo, s_lo + s_rng)
+        arch = dict(sd.get("arch", {}))  # absent in round-2 checkpoints
+        graph = build_mnist_graph(
+            i_lo, i_lo + i_rng, s_lo, s_lo + s_rng,
+            cond_hidden=tuple(arch.get("cond_hidden", (32, 32))),
+            spline=arch.get("spline", "rq"),
+        )
         return MNISTAttributeSCM(graph, sd["params"], sd["state"])

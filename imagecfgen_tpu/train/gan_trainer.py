@@ -43,6 +43,46 @@ from ..models.bigan import BiGAN, BiGANConfig
 from ..parallel.mesh import DATA_AXIS, data_mesh
 
 
+def flat_adam(learning_rate: float, b1: float, b2: float, mu_dtype=None,
+              eps: float = 1e-8) -> optax.GradientTransformation:
+    """Adam with moments stored as ONE raveled vector per pytree.
+
+    Mathematically identical to ``optax.adam`` (same bias correction and
+    eps placement); the difference is purely kernel shape: per-step moment
+    and update math runs as a handful of large fused elementwise kernels
+    over a contiguous (N,) buffer instead of hundreds of per-leaf kernels.
+    The 28^2 MNIST BiGAN step is bound on exactly that per-kernel fixed
+    cost (docs/PERF.md trace: ~300 small kernels, 92%-busy device), so
+    this converts wasted ramp time into HBM-streaming time."""
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return {
+            "count": jnp.zeros((), jnp.int32),
+            "mu": jnp.zeros_like(flat, dtype=mu_dtype or flat.dtype),
+            "nu": jnp.zeros_like(flat),
+        }
+
+    def update(grads, state, params=None):
+        g, unravel = ravel_pytree(grads)
+        count = state["count"] + 1
+        mu = (1 - b1) * g + b1 * state["mu"].astype(g.dtype)
+        nu = (1 - b2) * (g * g) + b2 * state["nu"]
+        c = count.astype(g.dtype)
+        mu_hat = mu / (1 - b1**c)
+        nu_hat = nu / (1 - b2**c)
+        step = -learning_rate * mu_hat / (jnp.sqrt(nu_hat) + eps)
+        new_state = {
+            "count": count,
+            "mu": mu.astype(mu_dtype or g.dtype),
+            "nu": nu,
+        }
+        return unravel(step), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def bce_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
     """BCE-with-logits against a constant 0/1 target, mean-reduced."""
     if target == 1:
@@ -76,6 +116,26 @@ class GANTrainConfig:
     # (SURVEY §7 hard part 6; the reference "solves" this with
     # torch.cuda.empty_cache(), esrf_acoustic.py:378)
     remat: bool = False
+    # --- throughput options (off by default: exact reference numerics win
+    # for GAN equilibrium; see docs/PERF.md "capturing the headroom") ---
+    # run Adam's moment/update math on one raveled vector per network
+    # instead of per-leaf kernels: same math, ~6 large fused kernels in
+    # place of hundreds of tiny ones (the 28^2 step is bound on exactly
+    # that per-kernel overhead)
+    flat_adam: bool = False
+    # keep Adam's first moment in bfloat16 (optax mu_dtype): -2 bytes/param
+    # of optimizer traffic
+    mu_dtype: Any = None
+    # ONE D update on the concatenated (real, fake) pairs per step instead
+    # of the reference's two sequential Adam updates
+    # (image_scms/mnist.py:232-241) — saves a full D forward+backward+
+    # update; a semantic change (one step on the summed loss, batch-norm
+    # stats over the combined batch), so opt-in
+    fused_d_steps: bool = False
+    # batch the EG loss's two D forwards (real pair, fake pair) into one
+    # 2B-batch pass — halves the EG phase's D kernel count; same FLOPs,
+    # but D's batch-norm sees the combined batch, so opt-in
+    fused_eg_d: bool = False
 
 
 class GANTrainer:
@@ -86,8 +146,11 @@ class GANTrainer:
         self.tcfg = tcfg
         self.mesh = mesh if mesh is not None else data_mesh()
         b1, b2 = tcfg.betas
-        self.tx_eg = optax.adam(tcfg.learning_rate, b1=b1, b2=b2)
-        self.tx_d = optax.adam(tcfg.learning_rate, b1=b1, b2=b2)
+        make = flat_adam if tcfg.flat_adam else (
+            lambda lr, b1, b2, mu_dtype: optax.adam(
+                lr, b1=b1, b2=b2, mu_dtype=mu_dtype))
+        self.tx_eg = make(tcfg.learning_rate, b1, b2, tcfg.mu_dtype)
+        self.tx_d = make(tcfg.learning_rate, b1, b2, tcfg.mu_dtype)
         self._epoch_fn = None
 
     # ---------------------------------------------------------- init
@@ -186,12 +249,23 @@ class GANTrainer:
             def loss_fn(params_eg):
                 ex = _e_fwd(params_eg["E"], x, attrs, ke1)
                 gz = _g_fwd(params_eg["G"], z, attrs)
-                d_valid, bs1 = _d_fwd(
-                    vars_D["params"], vars_D["batch_stats"], x, ex, attrs, kd1
-                )
-                d_fake, bs2 = _d_fwd(
-                    vars_D["params"], bs1, gz, z, attrs, kd2
-                )
+                if self.tcfg.fused_eg_d:
+                    b = x.shape[0]
+                    xcat = jnp.concatenate([x, gz], axis=0)
+                    zcat = jnp.concatenate([ex, z], axis=0)
+                    acat = jax.tree_util.tree_map(
+                        lambda v: jnp.concatenate([v, v], axis=0), attrs)
+                    d, bs2 = _d_fwd(
+                        vars_D["params"], vars_D["batch_stats"], xcat, zcat,
+                        acat, kd1)
+                    d_valid, d_fake = d[:b], d[b:]
+                else:
+                    d_valid, bs1 = _d_fwd(
+                        vars_D["params"], vars_D["batch_stats"], x, ex, attrs, kd1
+                    )
+                    d_fake, bs2 = _d_fwd(
+                        vars_D["params"], bs1, gz, z, attrs, kd2
+                    )
                 # label-swapped EG loss (reference image_scms/mnist.py:228)
                 loss = 0.5 * (bce_logits(d_valid, 0) + bce_logits(d_fake, 1))
                 return loss, bs2
@@ -220,27 +294,48 @@ class GANTrainer:
         ex = jax.lax.stop_gradient(_e_fwd(params_E, x, attrs, ke1))
         gz = jax.lax.stop_gradient(_g_fwd(params_G, z, attrs))
 
-        # ---- D update 1: real pair (x, E(x)) labelled valid
-        def d_loss_real(params_d, bs):
-            d_valid, new_bs = _d_fwd(params_d, bs, x, ex, attrs, kd3)
-            return bce_logits(d_valid, 1), (new_bs, d_valid)
+        if self.tcfg.fused_d_steps:
+            # ---- throughput mode: ONE update on the concatenated pairs
+            b = x.shape[0]
 
-        (loss_d1, (bs, d_valid_logits)), grads = jax.value_and_grad(
-            d_loss_real, has_aux=True
-        )(vars_D["params"], vars_D["batch_stats"])
-        updates, opt_d = self.tx_d.update(grads, state.opt_d, vars_D["params"])
-        params_D = optax.apply_updates(vars_D["params"], updates)
+            def d_loss_both(params_d, bs):
+                xcat = jnp.concatenate([x, gz], axis=0)
+                zcat = jnp.concatenate([ex, z], axis=0)
+                acat = jax.tree_util.tree_map(
+                    lambda v: jnp.concatenate([v, v], axis=0), attrs)
+                d, new_bs = _d_fwd(params_d, bs, xcat, zcat, acat, kd3)
+                d_valid, d_fake = d[:b], d[b:]
+                loss = bce_logits(d_valid, 1) + bce_logits(d_fake, 0)
+                return loss, (new_bs, d_valid, d_fake)
 
-        # ---- D update 2: fake pair (G(z), z) labelled fake, with updated D
-        def d_loss_fake(params_d, bs):
-            d_fake, new_bs = _d_fwd(params_d, bs, gz, z, attrs, kd4)
-            return bce_logits(d_fake, 0), (new_bs, d_fake)
+            (loss_d1, (bs, d_valid_logits, d_fake_logits)), grads = (
+                jax.value_and_grad(d_loss_both, has_aux=True)(
+                    vars_D["params"], vars_D["batch_stats"]))
+            updates, opt_d = self.tx_d.update(grads, state.opt_d, vars_D["params"])
+            params_D = optax.apply_updates(vars_D["params"], updates)
+            loss_d2 = jnp.zeros(())
+        else:
+            # ---- D update 1: real pair (x, E(x)) labelled valid
+            def d_loss_real(params_d, bs):
+                d_valid, new_bs = _d_fwd(params_d, bs, x, ex, attrs, kd3)
+                return bce_logits(d_valid, 1), (new_bs, d_valid)
 
-        (loss_d2, (bs, d_fake_logits)), grads = jax.value_and_grad(
-            d_loss_fake, has_aux=True
-        )(params_D, bs)
-        updates, opt_d = self.tx_d.update(grads, opt_d, params_D)
-        params_D = optax.apply_updates(params_D, updates)
+            (loss_d1, (bs, d_valid_logits)), grads = jax.value_and_grad(
+                d_loss_real, has_aux=True
+            )(vars_D["params"], vars_D["batch_stats"])
+            updates, opt_d = self.tx_d.update(grads, state.opt_d, vars_D["params"])
+            params_D = optax.apply_updates(vars_D["params"], updates)
+
+            # ---- D update 2: fake pair (G(z), z) labelled fake, updated D
+            def d_loss_fake(params_d, bs):
+                d_fake, new_bs = _d_fwd(params_d, bs, gz, z, attrs, kd4)
+                return bce_logits(d_fake, 0), (new_bs, d_fake)
+
+            (loss_d2, (bs, d_fake_logits)), grads = jax.value_and_grad(
+                d_loss_fake, has_aux=True
+            )(params_D, bs)
+            updates, opt_d = self.tx_d.update(grads, opt_d, params_D)
+            params_D = optax.apply_updates(params_D, updates)
 
         # ---- equilibrium diagnostics
         if self.tcfg.exact_reference_diagnostics:

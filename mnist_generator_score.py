@@ -1,12 +1,17 @@
-"""Generation-quality score: classifier accuracy on G(z, a) with a ~ SCM.
+"""Generation-quality score: classifier accuracy on G(z, a).
 
-Successor of ``mnist_generator_score.py:63-76``.
+Successor of ``mnist_generator_score.py:63-76``. With ``--data-dir`` the
+attributes are the test split's (the reference script's exact semantics);
+without it they are drawn from the fitted attribute SCM.
 """
 from argparse import ArgumentParser
 import os
 
 parser = ArgumentParser()
 parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--data-dir", type=str, default=None,
+                    help="score on this dir's mnist-a-test.npy attributes "
+                         "(reference semantics) instead of SCM samples")
 parser.add_argument("--n", type=int, default=4096)
 parser.add_argument("--seed", type=int, default=0)
 
@@ -32,7 +37,14 @@ if __name__ == "__main__":
     gen_fn = jax.jit(
         lambda z, a: model.generator.apply({"params": tree["params_G"]}, z, a)
     )
-    acc = generator_score(gen_fn, clf_fn, scm, scaler, jax.random.PRNGKey(args.seed), n=args.n)
+    test_attrs = None
+    if args.data_dir is not None:
+        from imagecfgen_tpu.cli.common import load_mnist_training_data
+
+        _, test_attrs, _ = load_mnist_training_data(args.data_dir, "test")
+        test_attrs = {k: v[: args.n] for k, v in test_attrs.items()}
+    acc = generator_score(gen_fn, clf_fn, scm, scaler, jax.random.PRNGKey(args.seed),
+                          n=args.n, attrs=test_attrs)
     print(f"generated-sample digit accuracy: {acc:.4f}")
 
     from imagecfgen_tpu.cli.common import clean_exit

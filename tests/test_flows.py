@@ -9,6 +9,7 @@ from imagecfgen_tpu.flows.bijectors import (
     Chain,
     ConditionalAffineT,
     ExpT,
+    LinearRationalSplineT,
     SigmoidT,
     SplineT,
 )
@@ -46,6 +47,7 @@ def _check_logdet_vs_autodiff(bij, params, state, x, context=None):
         ExpT(),
         SigmoidT(),
         SplineT(dim=1, count_bins=8, bound=3.0),
+        LinearRationalSplineT(dim=1, count_bins=8, bound=3.0),
     ],
 )
 def test_roundtrip_and_logdet(bij):
@@ -74,6 +76,46 @@ def test_spline_monotone_and_tails():
     # exact inverse roundtrip inside
     x2, _, _ = bij.inverse(params, y, state={})
     assert np.allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+
+
+def test_linear_rational_spline_properties():
+    """The LRS construction is pinned by its knot conditions: value
+    continuity at every knot and at each bin's interior lambda point, and
+    derivative d_k at each interior knot (from both adjacent bins). These
+    conditions uniquely determine the pyro-convention segment weights, so
+    passing them numerically validates checkpoint-ingestion parity."""
+    bij = LinearRationalSplineT(dim=1, count_bins=8, bound=3.0)
+    params, _ = bij.init(jax.random.PRNGKey(11))
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.7 * jax.random.normal(jax.random.PRNGKey(12), p.shape),
+        params,
+    )
+    # monotone + identity tails
+    x = jnp.linspace(-5.0, 5.0, 401)[:, None]
+    y, _, _ = bij.forward(params, x, state={})
+    dy = np.diff(np.asarray(y)[:, 0])
+    assert (dy > 0).all()
+    outside = np.abs(np.asarray(x)[:, 0]) > 3.0
+    assert np.allclose(np.asarray(y)[outside, 0], np.asarray(x)[outside, 0])
+    # roundtrip
+    x2, _, _ = bij.inverse(params, y, state={})
+    assert np.allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+
+    # derivative at each interior knot equals d_k from BOTH sides
+    cw, ch, d, lam = bij._knots(params)
+    cw, d = np.asarray(cw)[0], np.asarray(d)[0]
+
+    def deriv_at(x0):
+        f = lambda xi: bij.forward(params, xi[None, None], state={})[0][0, 0]
+        return float(jax.grad(f)(jnp.asarray(x0)))
+
+    for k in range(1, bij.count_bins):
+        for eps in (-1e-5, 1e-5):
+            g = deriv_at(cw[k] + eps)
+            assert abs(g - d[k]) / d[k] < 1e-2, (k, eps, g, d[k])
+    # boundary derivatives pinned to 1 (identity-tail continuity)
+    for x0 in (-3.0 + 1e-5, 3.0 - 1e-5):
+        assert abs(deriv_at(x0) - 1.0) < 1e-2
 
 
 def test_conditional_affine_roundtrip():

@@ -113,3 +113,177 @@ def test_remat_matches_no_remat():
     for a, b in zip(jax.tree_util.tree_leaves(states[False].params_G),
                     jax.tree_util.tree_leaves(states[True].params_G)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Multi-device (1-vs-8) coverage beyond the MNIST BiGAN (VERDICT r2 item 3):
+# audio BiGAN incl. the spectrogram pipeline, VAE, classifier and
+# unconditional-GAN trainers must produce identical trajectories on a
+# 1-device and an 8-device mesh.
+# ---------------------------------------------------------------------------
+
+
+def _traj_close(traj, rtol=2e-3, atol=2e-4):
+    a, b = traj[1], traj[8]
+    assert np.allclose(a, b, rtol=rtol, atol=atol), (
+        np.abs(a - b).max(), a, b)
+
+
+def test_dp_audio_bigan_spect_pipeline_1v8():
+    """Audio BiGAN (128-squared config, tiny width) fed through the real
+    spectrogram pipeline: wave -> framed STFT -> log-spect -> per-column
+    SpectStats (computed on the sharded array, exercising cross-device
+    reductions) -> clip-normalize -> train."""
+    from imagecfgen_tpu.data.audio_mnist import spectrogram_batch
+    from imagecfgen_tpu.models.bigan import audio_mnist_bigan_config
+    from imagecfgen_tpu.ops.spectral import SpectStats
+    from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
+
+    rng = np.random.default_rng(3)
+    n = 16
+    waves = rng.normal(0, 0.3, (n, 8000)).astype(np.float32)
+    spects = np.asarray(spectrogram_batch(jnp.asarray(waves)))  # (N, F, T)
+    attrs = {
+        k: np.eye(card, dtype=np.float32)[rng.integers(0, card, n)]
+        for k, card in CARDINALITIES.items()
+    }
+    cfg = audio_mnist_bigan_config(d=2)
+    traj, stats_by_mesh = {}, {}
+    for ndev in (1, 8):
+        mesh = data_mesh(jax.devices()[:ndev])
+        trainer = GANTrainer(
+            BiGAN(cfg),
+            GANTrainConfig(batch_size=8, betas=(0.5, 0.9)),
+            mesh=mesh,
+        )
+        sharded = jax.device_put(
+            jnp.asarray(spects),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")),
+        )
+        stats = SpectStats.compute(sharded)  # cross-device reduction
+        stats_by_mesh[ndev] = np.asarray(stats.mean), np.asarray(stats.std)
+        imgs = np.asarray(stats.spect_to_img(sharded))[..., None]
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        data = trainer.upload_dataset(imgs[:, :128, :128, :], attrs)
+        losses = []
+        for e in range(2):
+            state, m = trainer.fit_epoch(state, data, jax.random.PRNGKey(50 + e))
+            losses.append([float(m["loss_D"]), float(m["loss_EG"])])
+        traj[ndev] = np.asarray(losses)
+    assert np.allclose(stats_by_mesh[1][0], stats_by_mesh[8][0], atol=1e-6)
+    # the STFT pad column is constant across samples, so its std is pure
+    # f32 rounding noise (~1e-5) whose value depends on reduction order;
+    # 1e-4 absolute still pins every real (O(1)-std) column to 6 digits
+    assert np.allclose(stats_by_mesh[1][1], stats_by_mesh[8][1], atol=1e-4)
+    _traj_close(traj)
+
+
+def test_dp_vae_trainer_1v8():
+    x, attrs = _data(32)
+    traj = {}
+    for ndev in (1, 8):
+        mesh = data_mesh(jax.devices()[:ndev])
+        trainer = VAETrainer(
+            ConditionalVAE(tiny_vae_config()),
+            VAETrainConfig(batch_size=16, kl_weight=1.0),
+            mesh=mesh,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batches = {
+            "image": x.reshape(2, 16, 28, 28, 1),
+            "attrs": {k: np.asarray(v).reshape((2, 16) + np.asarray(v).shape[1:])
+                      for k, v in attrs.items()},
+        }
+        losses = []
+        for e in range(3):
+            state, m = trainer.run_epoch(state, batches)
+            losses.append(float(m["neg_elbo"]))
+        traj[ndev] = np.asarray(losses)
+    _traj_close(traj)
+
+
+def test_dp_classifier_trainer_1v8():
+    from imagecfgen_tpu.models.classifier import CNNClassifier, mnist_classifier_config
+    from imagecfgen_tpu.train.clf_trainer import (
+        SupervisedTrainConfig, SupervisedTrainer)
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, (64, 28, 28, 1)).astype(np.float32)
+    y = np.eye(10, dtype=np.float32)[rng.integers(0, 10, 64)]
+    traj = {}
+    for ndev in (1, 8):
+        mesh = data_mesh(jax.devices()[:ndev])
+        trainer = SupervisedTrainer(
+            CNNClassifier(mnist_classifier_config()),
+            SupervisedTrainConfig(batch_size=16),
+            mesh=mesh,
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0), jnp.zeros((2, 28, 28, 1)))
+        data = trainer.upload_dataset(x, y)
+        losses = []
+        for e in range(3):
+            state, m = trainer.fit_epoch(state, data, jax.random.PRNGKey(70 + e))
+            losses.append(float(m["loss"]))
+        traj[ndev] = np.asarray(losses)
+    _traj_close(traj)
+
+
+def test_dp_uncond_gan_trainer_1v8():
+    from imagecfgen_tpu.models.gan import UncondGANConfig
+    from imagecfgen_tpu.train.uncond_gan_trainer import (
+        UncondGANTrainConfig, UncondGANTrainer)
+
+    rng = np.random.default_rng(6)
+    x = rng.uniform(-1, 1, (32, 128, 128, 1)).astype(np.float32)
+    cfg = UncondGANConfig(d=2, latent_dim=16)  # plan is fixed at 128^2
+    traj = {}
+    for ndev in (1, 8):
+        mesh = data_mesh(jax.devices()[:ndev])
+        trainer = UncondGANTrainer(
+            cfg, UncondGANTrainConfig(batch_size=16), mesh=mesh)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        data = trainer.upload_dataset(x)
+        losses = []
+        for e in range(3):
+            state, m = trainer.fit_epoch(state, data, jax.random.PRNGKey(90 + e))
+            losses.append([float(m["loss_D"]), float(m["loss_G"])])
+        traj[ndev] = np.asarray(losses)
+    _traj_close(traj)
+
+
+def test_flat_adam_matches_reference_trajectory():
+    """GANTrainConfig(flat_adam=True) is a pure kernel-shape change: the
+    raveled-moment Adam must reproduce the per-leaf optax.adam trajectory
+    bit-for-bit-ish (same math, same order within each leaf)."""
+    x, attrs = _data(32)
+    traj = {}
+    for flat in (False, True):
+        trainer = GANTrainer(
+            BiGAN(tiny_config()),
+            GANTrainConfig(batch_size=16, flat_adam=flat),
+        )
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        data = trainer.upload_dataset(x, attrs)
+        losses = []
+        for e in range(3):
+            state, m = trainer.fit_epoch(state, data, jax.random.PRNGKey(10 + e))
+            losses.append([float(m["loss_D"]), float(m["loss_EG"])])
+        traj[flat] = np.asarray(losses)
+    assert np.allclose(traj[False], traj[True], rtol=1e-4, atol=1e-5), traj
+
+
+def test_fused_d_steps_trains():
+    """The fused single-update D step (throughput mode) trains: finite
+    losses, D/EG scores in (0, 1), step counter advances."""
+    x, attrs = _data(32)
+    trainer = GANTrainer(
+        BiGAN(tiny_config()),
+        GANTrainConfig(batch_size=16, fused_d_steps=True, flat_adam=True),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    data = trainer.upload_dataset(x, attrs)
+    for e in range(3):
+        state, m = trainer.fit_epoch(state, data, jax.random.PRNGKey(30 + e))
+    assert np.isfinite(float(m["loss_D"])) and np.isfinite(float(m["loss_EG"]))
+    assert 0.0 < float(m["D_score"]) < 1.0
+    assert int(state.step) == 6

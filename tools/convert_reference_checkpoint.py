@@ -32,11 +32,22 @@ prominent warning, and requires the reference sources on ``sys.path``
 (``--reference-path``, default /root/reference) plus import shims for the
 reference's absent deps (pytorch_msssim, torchaudio, librosa, pyro).
 
-Known limitation: attribute-SCM checkpoints (``{'graph':
-CausalModuleGraph}``, train_mnist_attribute_scm.py:32) pickle live pyro
-distribution objects and cannot be unpickled without a real pyro install;
-this environment has none. Re-fit with train_*_attribute_scm.py (seconds
-on TPU) or dump flow parameters in the source environment.
+- ``attribute-scm``    train_mnist_attribute_scm.py:32 (``{'graph':
+                       CausalModuleGraph}``). These pickle *live pyro
+                       objects*; they are ingested WITHOUT pyro via
+                       auto-fabricated stub classes (any ``pyro.*`` class
+                       the pickle names resolves to a stub that captures
+                       the pickled instance state), then the captured
+                       tensors are mapped onto ``flows/bijectors.py``
+                       params: pyro BatchNorm -> BatchNormFlow
+                       (log_gamma = log(relu(gamma)+1e-6), pyro's
+                       constrained_gamma), conditional_affine_autoregressive
+                       -> ConditionalAffineT (masked MaskedLinear weights
+                       collapsed to the context MLP — for input_dim=1 the
+                       autoregressive mask leaves outputs context-only),
+                       pyro Spline(order='linear') -> LinearRationalSplineT
+                       (order='quadratic' -> SplineT), AffineTransform
+                       bounds -> AffineT, Categorical -> empirical logits.
 
 Weight-layout translations:
 
@@ -53,10 +64,16 @@ Weight-layout translations:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+# runnable as `python tools/convert_reference_checkpoint.py` from anywhere
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 DEFAULT_REFERENCE_PATH = "/root/reference"
 
@@ -180,22 +197,91 @@ def map_plan_params(plan, sd: Dict[str, np.ndarray], prefix: str,
 # ------------------------------------------------------------------ loading
 
 
+class _PyroStub:
+    """Instance-state sponge for unpickling pyro objects without pyro.
+
+    Default unpickling (``cls.__new__`` + ``__setstate__``/dict update)
+    captures the pickled ``__dict__`` verbatim — for ``nn.Module``
+    subclasses that includes ``_parameters``/``_buffers``/``_modules``,
+    which is everything the attribute-SCM converter needs. Attribute
+    access falls through to those torch-module dicts so extraction code
+    can write ``stub.nn.layers`` like it would on a live module."""
+
+    def __init__(self, *a, **k):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, tuple):  # (__dict__, __slots__) protocol
+            for part in state:
+                if part:
+                    self.__dict__.update(part)
+        elif isinstance(state, dict):
+            self.__dict__.update(state)
+
+    def __getattr__(self, name):
+        d = self.__dict__
+        for container in ("_parameters", "_buffers", "_modules"):
+            c = d.get(container)
+            if c is not None and name in c:
+                return c[name]
+        raise AttributeError(name)
+
+
+class _StubModule(__import__("types").ModuleType):
+    """Module whose unknown attributes resolve to fresh ``_PyroStub``
+    subclasses — lets ``pickle.find_class`` resolve *any* pyro class path
+    named by a legacy checkpoint."""
+
+    def __init__(self, name):
+        super().__init__(name)
+        self.__path__ = []  # act as a package so submodule imports recurse
+
+    def __getattr__(self, name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        cls = type(name, (_PyroStub,), {"__module__": self.__name__})
+        setattr(self, name, cls)
+        return cls
+
+
+class _PyroStubFinder:
+    """sys.meta_path hook: any ``pyro[.sub.module]`` import materialises a
+    ``_StubModule`` (checkpoints reference deep paths like
+    ``pyro.distributions.transforms.spline``)."""
+
+    def find_spec(self, fullname, path=None, target=None):
+        import importlib.util
+
+        if fullname == "pyro" or fullname.startswith("pyro."):
+            return importlib.util.spec_from_loader(fullname, loader=self)
+        return None
+
+    def create_module(self, spec):
+        return _StubModule(spec.name)
+
+    def exec_module(self, module):
+        pass
+
+
 def _install_reference_shims(reference_path: str):
     """Make the reference package importable for whole-module unpickling:
-    sys.path + stand-ins for deps absent from this image. The shims only
-    need to satisfy module-level imports; classes instantiated at module
-    scope do not exist in the reference."""
+    sys.path + stand-ins for deps absent from this image. pyro modules are
+    auto-stubbing (`_StubModule`): known torch-compatible classes are
+    preset, anything else a pickle names becomes a `_PyroStub` subclass
+    that captures instance state."""
     import types
 
     import torch
 
-    def shim(name, **attrs):
+    def shim(name, factory=types.ModuleType, **attrs):
         if name in sys.modules:
-            return sys.modules[name]
-        m = types.ModuleType(name)
+            m = sys.modules[name]
+        else:
+            m = factory(name)
+            sys.modules[name] = m
         for k, v in attrs.items():
-            setattr(m, k, v)
-        sys.modules[name] = m
+            if k not in m.__dict__:
+                setattr(m, k, v)
         return m
 
     shim("pytorch_msssim", ssim=lambda *a, **k: torch.tensor(0.0))
@@ -203,16 +289,15 @@ def _install_reference_shims(reference_path: str):
     tat = shim("torchaudio.transforms", Spectrogram=object, GriffinLim=object)
     ta.transforms = tat
     shim("librosa", core=types.SimpleNamespace(resample=None), resample=None)
-    # pyro: enough to *import* the reference VAE modules (their classes use
-    # ConditionalTransform as a base and torch-compatible distributions at
-    # runtime); unpickling live pyro objects still requires real pyro.
-    py = shim("pyro")
-    pyd = shim("pyro.distributions",
+    if not any(isinstance(f, _PyroStubFinder) for f in sys.meta_path):
+        sys.meta_path.insert(0, _PyroStubFinder())
+    py = shim("pyro", factory=_StubModule)
+    pyd = shim("pyro.distributions", factory=_StubModule,
                MultivariateNormal=torch.distributions.MultivariateNormal,
                Normal=torch.distributions.Normal)
-    pydt = shim("pyro.distributions.transforms",
+    pydt = shim("pyro.distributions.transforms", factory=_StubModule,
                 AffineTransform=torch.distributions.transforms.AffineTransform)
-    pydc = shim("pyro.distributions.conditional",
+    pydc = shim("pyro.distributions.conditional", factory=_StubModule,
                 ConditionalTransform=type("ConditionalTransform", (), {}),
                 ConditionalTransformedDistribution=type(
                     "ConditionalTransformedDistribution", (), {
@@ -583,15 +668,172 @@ def convert_whale_clf(path_in, path_out, stats_prefix="",
     )
 
 
-def convert_attribute_scm(path_in, path_out, **_):
-    raise SystemExit(
-        "attribute-SCM checkpoints pickle live pyro distribution objects "
-        "(train_mnist_attribute_scm.py:32) and cannot be unpickled without "
-        "a real pyro install, which this image lacks. Re-fit the SCM with "
-        "train_mnist_attribute_scm.py / train_audio_mnist_attribute_scm.py "
-        "(it is a seconds-long MLE fit on TPU), or export the flow "
-        "parameters from the source environment."
+def _stub_tensors(stub) -> Dict[str, np.ndarray]:
+    """All parameter/buffer tensors captured on an unpickled module stub."""
+    out = {}
+    for container in ("_parameters", "_buffers"):
+        for k, v in (getattr(stub, container, None) or {}).items():
+            if v is not None:
+                out[k] = np.asarray(
+                    v.detach().cpu().numpy() if hasattr(v, "detach") else v,
+                    np.float32,
+                )
+    return out
+
+
+def _masked_linear_eff(layer) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """(effective weight (O,I), bias (O,), mask or None) of a pyro
+    MaskedLinear stub — the mask multiplies the weight at forward time
+    (pyro.nn.auto_reg_nn), so the effective weight is ``weight * mask``."""
+    t = _stub_tensors(layer)
+    w = t["weight"]
+    mask = t.get("mask")
+    if mask is not None:
+        w = w * mask
+    return w, t.get("bias", np.zeros(w.shape[0], np.float32)), mask
+
+
+def _convert_cond_affine(caa) -> Tuple[list, Tuple[int, ...], Tuple[float, float]]:
+    """pyro ConditionalAffineAutoregressive (input_dim=1) -> ConditionalAffineT
+    mlp params. The hypernet is a ConditionalAutoRegressiveNN over
+    cat([context, x]); for input_dim=1 the autoregressive mask zeroes every
+    x column, so the net is exactly MLP(context) -> (loc, log_scale). The
+    context columns are identified from the stored first-layer mask (any
+    nonzero entry), not assumed."""
+    net = caa.nn
+    layer_list = getattr(net, "layers", None)
+    if layer_list is None:
+        raise SystemExit("conditional affine hypernet has no layers")
+    if hasattr(layer_list, "_modules"):  # nn.ModuleList (real or stub)
+        layers = list(layer_list._modules.values())
+    else:
+        layers = list(layer_list)
+    mlp = []
+    for i, layer in enumerate(layers):
+        w, b, mask = _masked_linear_eff(layer)
+        if i == 0:
+            if mask is None:
+                raise SystemExit("first hypernet layer has no mask buffer")
+            ctx_cols = np.where(mask.any(axis=0))[0]
+            dead = np.setdiff1d(np.arange(w.shape[1]), ctx_cols)
+            assert np.abs(w[:, dead]).max() == 0.0, (
+                "masked x-columns of the first layer must be zero")
+            w = w[:, ctx_cols]
+        mlp.append({"w": w.T, "b": b})  # torch (O,I) -> ours (I,O)
+    hidden = tuple(layer["w"].shape[1] for layer in mlp[:-1])
+    clip = (float(getattr(caa, "log_scale_min_clip", -5.0)),
+            float(getattr(caa, "log_scale_max_clip", 3.0)))
+    assert mlp[-1]["w"].shape[1] == 2, "expected (loc, log_scale) output pair"
+    return mlp, hidden, clip
+
+
+def convert_attribute_scm(path_in, path_out,
+                          reference_path=DEFAULT_REFERENCE_PATH, **_):
+    """Ingest the reference's pyro-pickled MNIST attribute SCM
+    (``train_mnist_attribute_scm.py:32``) without pyro: every pyro class
+    in the pickle resolves to a state-capturing stub, and the captured
+    tensors are mapped onto this framework's flow parameters."""
+    import jax
+
+    from imagecfgen_tpu.cli.common import save_attribute_scm
+    from imagecfgen_tpu.scm.mnist import MNISTAttributeSCM, build_mnist_graph
+    from imagecfgen_tpu.scm.module import CategoricalCM
+
+    obj = load_torch_tar(path_in, reference_path)
+    graph = obj["graph"] if isinstance(obj, dict) and "graph" in obj else obj
+
+    mods = graph.modules
+    expected = {"thickness", "intensity", "slant", "digit"}
+    if set(mods) != expected:
+        raise SystemExit(f"unexpected SCM nodes {sorted(mods)} (want {sorted(expected)})")
+    edges = {(u, v) for u, vs in graph.adj.items() for v in vs}
+    if edges != {("thickness", "intensity")}:
+        raise SystemExit(f"unexpected SCM edges {sorted(edges)}")
+
+    # ---- thickness: BatchNorm flow + Exp --------------------------------
+    bn, _exp = list(mods["thickness"].td.transforms)
+    bn_t = _stub_tensors(bn)
+    if "gamma" in bn_t:  # pyro stores unconstrained gamma;
+        # constrained_gamma = relu(gamma) + 1e-6 (pyro batchnorm.py)
+        log_gamma = np.log(np.maximum(bn_t["gamma"], 0.0) + 1e-6)
+    elif "log_gamma" in bn_t:
+        log_gamma = bn_t["log_gamma"]
+    else:
+        raise SystemExit(f"unrecognised BatchNorm params {sorted(bn_t)}")
+    p_thick = ({"log_gamma": log_gamma, "beta": bn_t["beta"]}, {})
+    s_thick = ({"mean": bn_t["moving_mean"], "var": bn_t["moving_variance"]}, {})
+
+    # ---- intensity | thickness: cond-affine + Sigmoid + Affine ----------
+    caa, _sig, aff_i = list(mods["intensity"].ctd.transforms)
+    mlp, cond_hidden, clip = _convert_cond_affine(caa)
+    i_lo, i_rng = float(np.asarray(aff_i.loc)), float(np.asarray(aff_i.scale))
+    p_int = ({"mlp": mlp}, {}, {})
+    s_int = ({}, {}, {})
+
+    # ---- slant: Spline + Affine -----------------------------------------
+    sp, aff_s = list(mods["slant"].td.transforms)
+    sp_t = _stub_tensors(sp)
+    order = getattr(sp, "order", "linear")  # pyro Spline default order
+    spline_kind = "linear" if order == "linear" else "rq"
+    p_slant_spline = {
+        "widths": sp_t["unnormalized_widths"],
+        "heights": sp_t["unnormalized_heights"],
+        "derivs": sp_t["unnormalized_derivatives"],
+    }
+    if spline_kind == "linear":
+        p_slant_spline["lambdas"] = sp_t["unnormalized_lambdas"]
+    s_lo, s_rng = float(np.asarray(aff_s.loc)), float(np.asarray(aff_s.scale))
+    p_slant = (p_slant_spline, {})
+    s_slant = ({}, {})
+
+    # ---- digit: empirical categorical -----------------------------------
+    d = mods["digit"].d
+    if "probs" in d.__dict__ or hasattr(d, "probs"):
+        probs = np.asarray(d.__dict__.get("probs", getattr(d, "probs", None)))
+        logits = np.log(np.maximum(probs.astype(np.float64), 1e-12))
+    else:
+        logits = np.asarray(d.logits)
+    p_digit = {"logits": np.asarray(logits, np.float32).reshape(-1)}
+    n_digit = p_digit["logits"].shape[0]
+
+    count_bins = p_slant_spline["widths"].shape[-1]
+    bound = float(getattr(sp, "bound", 3.0))
+    new_graph = build_mnist_graph(
+        i_lo, i_lo + i_rng, s_lo, s_lo + s_rng,
+        cond_hidden=cond_hidden, spline=spline_kind,
     )
+    spline_bij = new_graph.modules["slant"].flow.chain.bijectors[0]
+    assert spline_bij.count_bins == count_bins and spline_bij.bound == bound, (
+        "non-default pyro Spline hyperparameters "
+        f"(count_bins={count_bins}, bound={bound}) are not supported")
+    cond_bij = new_graph.modules["intensity"].flow.chain.bijectors[0]
+    assert cond_bij.log_scale_clip == clip, (
+        f"non-default log-scale clip {clip} is not supported")
+    assert n_digit == 10, n_digit
+
+    params = {
+        "thickness": jax.tree_util.tree_map(jnp_f32, p_thick),
+        "intensity": jax.tree_util.tree_map(jnp_f32, p_int),
+        "slant": jax.tree_util.tree_map(jnp_f32, p_slant),
+        "digit": jax.tree_util.tree_map(jnp_f32, p_digit),
+    }
+    state = {
+        "thickness": jax.tree_util.tree_map(jnp_f32, s_thick),
+        "intensity": s_int,
+        "slant": s_slant,
+        "digit": {},
+    }
+    scm = MNISTAttributeSCM(new_graph, params, state)
+    save_attribute_scm(path_out, scm)
+    print(f"wrote {path_out} (attribute-scm: BatchNorm+Exp / "
+          f"cond-affine{list(cond_hidden)} / {spline_kind}-spline K={count_bins} "
+          f"/ Categorical({n_digit}))")
+
+
+def jnp_f32(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(x, np.float32))
 
 
 KINDS = {

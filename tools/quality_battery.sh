@@ -5,13 +5,26 @@
 # .battery_data/ (git-ignored).
 set -e
 cd "$(dirname "$0")/.."
-D=${1:-.battery_data}
+# HARD=1 runs the de-saturated variant (VERDICT r2 item 8): additive pixel
+# noise at synthesis + a held-out thickness-intervention magnitude, so the
+# accuracy metrics sit in the ~0.8-0.95 band where regressions are visible
+# (the clean battery saturates at 0.99+).
+HARD=${HARD:-0}
+if [ "$HARD" = "1" ]; then
+  D=${1:-.battery_data_hard}
+  NOISE=(--noise-std "${NOISE_STD:-32}")
+  SHIFT=(--target-shift "${TARGET_SHIFT:-1.5}")
+else
+  D=${1:-.battery_data}
+  NOISE=()
+  SHIFT=()
+fi
 EPOCHS=${EPOCHS:-600}
 mkdir -p "$D"
 
 if [ ! -f "$D/mnist-x-train.npy" ]; then
-  python create_train_dataset.py --synthetic 8192 --out-dir "$D"
-  python create_test_dataset.py --synthetic 2048 --out-dir "$D"
+  python create_train_dataset.py --synthetic 8192 --out-dir "$D" "${NOISE[@]}"
+  python create_test_dataset.py --synthetic 2048 --out-dir "$D" "${NOISE[@]}"
 fi
 
 python train_mnist_image_scm.py --data-dir "$D" --steps "$EPOCHS" \
@@ -30,4 +43,5 @@ echo "=== generator scores ==="
 python mnist_generator_score.py --model-dir "$D" --n 2048
 python mnist_vae_generator_score.py --model-dir "$D" --n 2048
 echo "=== measured CF parity ==="
-python mnist_gan_measured_cf.py --data-dir "$D" --model-dir "$D" --limit 256 --workers 1
+python mnist_gan_measured_cf.py --data-dir "$D" --model-dir "$D" --limit 256 \
+  --workers 1 "${SHIFT[@]}"
