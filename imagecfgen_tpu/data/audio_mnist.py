@@ -59,10 +59,12 @@ def audio_from_log_spect(log_spec: jnp.ndarray, rng=None, n_iter: int = 32) -> j
 
 
 def _resample_to_8k(wav: np.ndarray, sr: int) -> np.ndarray:
-    """48k->8k with the kaiser_best windowed-sinc filter, matching the
-    reference's ``librosa.core.resample`` default
-    (``image_scms/audio_mnist.py:77-79``; window spec pinned by
-    ``tests/test_stft.py::test_resample_kaiser_best_matches_window_spec``)."""
+    """48k->8k exactly as the reference does it: FFT-domain
+    ``scipy.signal.resample`` — the reference passes
+    ``res_type="scipy"`` to librosa (``image_scms/audio_mnist.py:77-79``),
+    NOT the kaiser_best default the round-1/2 reviews assumed.
+    ``ops/resample.py`` pins the kernel against the scipy golden and also
+    offers kaiser_best for users of librosa's default."""
     if sr == SAMPLE_RATE:
         return wav.astype(np.float32)
     from ..ops.resample import resample

@@ -1,15 +1,24 @@
 """Polyphase audio resampling (host-side, ingest path).
 
 The reference resamples AudioMNIST wavs 48 kHz -> 8 kHz with
-``librosa.core.resample`` (``image_scms/audio_mnist.py:77-79``), whose
-default backend in the reference's era is resampy's ``kaiser_best``
-windowed-sinc filter. Two from-scratch polyphase kernels live here:
+``librosa.core.resample(..., res_type="scipy")``
+(``image_scms/audio_mnist.py:77-79`` — and identically in the
+``deepscm_vae``/``classifiers`` loader copies). librosa's ``"scipy"``
+res_type is **FFT-domain** ``scipy.signal.resample``, NOT the polyphase
+default — a correction to the round-1 review and VERDICT r2 item 7,
+which assumed kaiser_best. Three from-scratch kernels live here:
 
+- :func:`resample_fft` — ``scipy.signal.resample`` semantics exactly
+  (FFT, spectrum truncation/zero-padding with the even-Nyquist-bin
+  rules); **the AudioMNIST ingest default** because it is what the
+  reference actually runs. Note it does NOT anti-alias beyond the brick
+  wall (spectral leakage of out-of-band energy rings), faithfully.
 - :func:`resample_kaiser_best` — resampy's published kaiser_best spec
   (64 zero-crossings/side, Kaiser beta 14.7697, roll-off 0.9475),
-  evaluated exactly rather than via resampy's interpolated table; this is
-  the AudioMNIST ingest default (last audio parity deviation, VERDICT r2
-  item 7). Tests pin it against a brute-force evaluation of the window
+  evaluated exactly rather than via resampy's interpolated table —
+  offered because it is librosa's *default* res_type (what a user gets
+  when they drop the explicit ``res_type="scipy"``) and the better
+  filter. Tests pin it against a brute-force evaluation of the window
   definition plus spectral pass/stop-band checks.
 - :func:`resample_poly` — matches ``scipy.signal.resample_poly``'s
   default semantics exactly (window=('kaiser', 5.0), 10*max_rate taps per
@@ -65,6 +74,32 @@ def resample_poly(x: np.ndarray, up: int, down: int, beta: float = 5.0) -> np.nd
         # centered filter delay = half_len; output grid = every `down`th
         out[i] = y[half_len : half_len + n_out * down : down]
     return out.reshape(x.shape[:-1] + (n_out,))
+
+
+def resample_fft(x: np.ndarray, num: int) -> np.ndarray:
+    """Resample to ``num`` samples along the last axis via the Fourier
+    method, matching ``scipy.signal.resample(x, num)`` exactly: truncate
+    (or zero-pad) the spectrum, with the split/doubled Nyquist-bin
+    handling for even lengths, and rescale by num/n."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[-1]
+    if num == n:
+        return x.copy()
+    X = np.fft.fft(x, axis=-1)
+    N = min(num, n)
+    Y = np.zeros(x.shape[:-1] + (num,), dtype=complex)
+    nyq = N // 2 + 1
+    Y[..., :nyq] = X[..., :nyq]
+    if N > 2:
+        Y[..., nyq - N:] = X[..., nyq - N:]
+    if N % 2 == 0:
+        if num < n:  # downsampling: double the retained Nyquist bin
+            Y[..., N // 2] *= 2.0
+        else:  # upsampling: split it across the two symmetric positions
+            Y[..., N // 2] *= 0.5
+            Y[..., num - N // 2] = Y[..., N // 2]
+    y = np.fft.ifft(Y, axis=-1).real * (float(num) / n)
+    return y
 
 
 # resampy's published "kaiser_best" interpolation-window spec — the filter
@@ -124,18 +159,24 @@ def resample_kaiser_best(x: np.ndarray, up: int, down: int) -> np.ndarray:
 
 def resample(
     wav: np.ndarray, sr_in: int, sr_out: int, beta: float = 5.0,
-    filter: str = "kaiser_best",
+    filter: str = "fft",
 ) -> np.ndarray:
     """Rate-to-rate convenience wrapper (e.g. 48000 -> 8000).
 
-    ``filter="kaiser_best"`` (default) reproduces the reference's librosa
-    resampling path; ``filter="scipy"`` keeps the scipy
-    ``resample_poly``-parity kernel (window=('kaiser', beta))."""
+    ``filter="fft"`` (default) is the reference's actual path
+    (``librosa res_type="scipy"`` == ``scipy.signal.resample``);
+    ``filter="kaiser_best"`` is librosa's default windowed-sinc;
+    ``filter="scipy_poly"`` is the ``resample_poly`` kernel
+    (window=('kaiser', beta))."""
+    wav = np.asarray(wav, dtype=np.float64)
     if sr_in == sr_out:
-        return np.asarray(wav, dtype=np.float64).copy()
+        return wav.copy()
     g = gcd(sr_in, sr_out)
+    if filter == "fft":
+        num = int(np.ceil(wav.shape[-1] * sr_out / sr_in))
+        return resample_fft(wav, num)
     if filter == "kaiser_best":
         return resample_kaiser_best(wav, sr_out // g, sr_in // g)
-    if filter == "scipy":
+    if filter in ("scipy", "scipy_poly"):
         return resample_poly(wav, sr_out // g, sr_in // g, beta=beta)
     raise ValueError(f"unknown filter {filter!r}")

@@ -169,10 +169,36 @@ def test_resample_poly_matches_scipy():
         assert ours.shape == ref.shape, (up, down, ours.shape, ref.shape)
         assert np.allclose(ref, ours, atol=1e-9), (
             up, down, np.abs(ref - ours).max())
-    # 48k -> 8k wrapper in scipy-parity mode
+    # 48k -> 8k wrapper in polyphase mode
     ref = ss.resample_poly(x, 1, 6)
-    ours = resample(x, 48000, 8000, filter="scipy")
+    ours = resample(x, 48000, 8000, filter="scipy_poly")
     assert np.allclose(ref, ours, atol=1e-9)
+
+
+def test_resample_fft_matches_scipy():
+    """The AudioMNIST ingest default is the reference's ACTUAL resampler:
+    ``librosa.core.resample(..., res_type="scipy")`` == FFT-domain
+    ``scipy.signal.resample`` (image_scms/audio_mnist.py:77-79 — a
+    correction to VERDICT r2 item 7, which assumed librosa's kaiser_best
+    default). Pinned exactly against the scipy golden, including the
+    even-length Nyquist-bin rules, both directions."""
+    from scipy import signal as ss
+
+    from imagecfgen_tpu.ops.resample import resample, resample_fft
+
+    rng = np.random.default_rng(5)
+    for n, num in [(14400, 2400), (1600, 267), (801, 2400), (800, 133),
+                   (2400, 14400), (8, 16), (9, 4)]:
+        x = rng.normal(0, 1, n)
+        ref = ss.resample(x, num)
+        ours = resample_fft(x, num)
+        assert ours.shape == ref.shape
+        assert np.allclose(ref, ours, atol=1e-9), (n, num)
+    # the wrapper's librosa output-length convention (ceil) + default path
+    x = rng.normal(0, 1, 14401)
+    y = resample(x, 48000, 8000)
+    assert y.shape == (int(np.ceil(14401 / 6)),)
+    assert np.allclose(y, ss.resample(x, int(np.ceil(14401 / 6))), atol=1e-9)
 
 
 def test_resample_kaiser_best_matches_window_spec():
@@ -210,7 +236,7 @@ def test_resample_kaiser_best_matches_window_spec():
 
     for up, down in [(1, 6), (2, 3), (3, 2)]:
         ref = brute(x, up, down)
-        ours = resample(x, 8000 * down, 8000 * up)
+        ours = resample(x, 8000 * down, 8000 * up, filter="kaiser_best")
         assert ours.shape == ref.shape
         assert np.allclose(ref, ours, atol=1e-12), np.abs(ref - ours).max()
 
@@ -226,7 +252,7 @@ def test_resample_kaiser_best_spectral():
 
     def tone_gain(f):
         x = np.sin(2 * np.pi * f * t)
-        y = resample(x, sr_in, sr_out)
+        y = resample(x, sr_in, sr_out, filter="kaiser_best")
         w = np.hanning(len(y))
         spec = np.abs(np.fft.rfft(y * w))
         f_alias = min(f % sr_out, sr_out - (f % sr_out))
