@@ -18,8 +18,10 @@ is the hardware-honest utilization number, not MFU (see docs/PERF.md).
 
 ``vs_baseline`` is the ratio to the PyTorch reference's own train loop
 on this host's CPU (the reference publishes no numbers — BASELINE.md).
-Extra fields: bf16 batch-256 throughput config, AudioMNIST BiGAN
-(128^2, d=64) steps/sec, and abduct-act-predict CF images/sec.
+Extra fields: bf16 batch-256 throughput config, the fused f32 batch-64
+throughput config (opt-in D-step/EG fusions + bf16 Adam moment),
+AudioMNIST/whale/ESRF BiGAN steps/sec, and abduct-act-predict CF
+images/sec.
 
 Set BENCH_SKIP_TORCH=1 to reuse the cached torch baseline;
 BENCH_FAST=1 skips everything but the primary MNIST metric and CF
@@ -84,7 +86,7 @@ def _step_cost(trainer, state, data, batch):
         return float("nan"), float("nan")
 
 
-def _measure_bigan(config, batch, n_data, epochs, betas=(0.5, 0.999)):
+def _measure_bigan(config, batch, n_data, epochs, betas=(0.5, 0.999), **tcfg_kw):
     """Build a BiGAN trainer on synthetic data and time `epochs` epochs,
     dispatched as a chain and closed with one hard sync. Returns
     (steps_per_sec, flops_per_step, bytes_per_step)."""
@@ -96,7 +98,8 @@ def _measure_bigan(config, batch, n_data, epochs, betas=(0.5, 0.999)):
     model, data_fn = config
     trainer = GANTrainer(
         BiGAN(model),
-        GANTrainConfig(batch_size=batch, d_updates_per_g_update=1, betas=betas),
+        GANTrainConfig(batch_size=batch, d_updates_per_g_update=1, betas=betas,
+                       **tcfg_kw),
     )
     x, attrs = data_fn(n_data)
     state = trainer.init_state(jax.random.PRNGKey(0))
@@ -133,6 +136,22 @@ def measure_mnist_throughput():
     return _measure_bigan(
         (mnist_bigan_config(compute_dtype=jnp.bfloat16), _mnist_data),
         256, N_DATA, 40,
+    )
+
+
+def measure_mnist_fused():
+    """Captured-headroom config: f32 batch 64 with the opt-in step fusions
+    (one D update on concat pairs + batched EG D-passes + bf16 Adam moment;
+    docs/PERF.md "capturing the headroom" — +32% over parity in the round-3
+    A/B). Semantics differ from the reference's two sequential D updates,
+    so this is reported separately from the parity metric."""
+    import jax.numpy as jnp
+
+    from imagecfgen_tpu.models.bigan import mnist_bigan_config
+
+    return _measure_bigan(
+        (mnist_bigan_config(), _mnist_data), BATCH, N_DATA, 20,
+        fused_d_steps=True, fused_eg_d=True, mu_dtype=jnp.bfloat16,
     )
 
 
@@ -330,6 +349,7 @@ def main():
     cf_ips = _safe(measure_cf_throughput, "cf throughput")
     fast = os.environ.get("BENCH_FAST")
     tput = None if fast else _safe(measure_mnist_throughput, "bf16 throughput")
+    fused = None if fast else _safe(measure_mnist_fused, "fused throughput")
     audio = None if fast else _safe(measure_audio_train, "audio train")
     whale = None if fast else _safe(measure_whale_train, "whale train")
     esrf = None if fast else _safe(measure_esrf_train, "esrf train")
@@ -361,6 +381,8 @@ def main():
         record["bf16_b256_mfu_pct"] = (
             round(100 * sps * fl / peak, 1) if fl == fl else None
         )
+    if fused is not None:
+        record["fused_f32_b64_steps_per_sec"] = round(fused[0], 2)
     if cf_ips is not None:
         record["cf_images_per_sec"] = round(cf_ips, 1)
     if audio is not None:

@@ -3,7 +3,8 @@
 Rebuild of the reference ``EsrfStation`` (``image_scms/esrf_acoustic.py:
 32-131``): CSV labels with BG* distance columns reduced to a
 ``closest_boat`` scalar (100 - strongest BG index; -1 if none), rows kept
-at distance <= 30, 10:1 negative oversampling cap, seeded path-level
+at distance <= 30, the reference's (no-op — see ``_index_real``) positive
+path cap, seeded path-level
 train/validation split, random 5-second windows (10 per boat-positive
 recording, 1 otherwise), and the
 ``Spectrogram(n_fft=1023, win_length=256, hop_length=79, pad=200)`` ->
@@ -85,14 +86,22 @@ class EsrfStation:
             p for p in map(str, Path(wav_path).rglob("*.wav"))
             if "8000" in p and os.path.split(p)[-1] in filepaths
         ]
-        # cap boat-negative recordings at 10x the positive count
         def is_positive(p):
             row = has_boat[np.asarray(df["filepath"] == os.path.split(p)[-1])]
             return len(row) and row[0] == 1
 
         positives = [p for p in wavs if is_positive(p)]
         negatives = [p for p in wavs if not is_positive(p)]
-        wavs = positives + negatives[: 10 * len(positives)]
+        # match the reference's *actual* list construction
+        # (esrf_acoustic.py:68-73): its `negative_paths` variable in fact
+        # selects the boat-POSITIVE paths, so the `[:10 * n_positive]` cap
+        # (n_positive = positive df rows) only binds if >10 wav files map
+        # to each positive row — in practice a no-op: every path survives,
+        # ordered negatives-then-positives. The order and membership must
+        # match exactly because the seeded permutation below indexes into
+        # this list (split parity with converted reference checkpoints,
+        # same argument as whalecalls.py).
+        wavs = negatives + positives[: 10 * int(has_boat.sum())]
 
         rng = np.random.RandomState(seed)
         inds = rng.permutation(len(wavs))

@@ -100,8 +100,14 @@ class WhaleCallData:
                 self.call_times[kind][date] = _parse_mat_log(path)
 
         self.paths: Dict[str, Dict[str, List[str]]] = {}
+        # permutations drawn in the reference's RNG-consumption order —
+        # shotgun, upcall, then nocall (whalecalls.py:88-111) — so the
+        # same seed yields the exact same train/validation membership
+        # (split parity matters when scoring converted reference
+        # checkpoints: a different split leaks their train clips into
+        # our validation stream)
         for kind, directory in (
-            ("nocall", nocall_dir), ("shotgun", shotgun_dir), ("upcall", upcall_dir)
+            ("shotgun", shotgun_dir), ("upcall", upcall_dir), ("nocall", nocall_dir)
         ):
             wavs = list(map(str, Path(directory).rglob("*.wav")))
             n_train = int(len(wavs) * (1 - validation_split))

@@ -468,7 +468,14 @@ def _convert_spect_bigan(kind: str, config_fn, embed_keys, path_in: str,
     sd_E = state_dict_of(obj, "E", "E_state_dict")
     sd_G = state_dict_of(obj, "G", "G_state_dict")
     sd_D = state_dict_of(obj, "D", "D_state_dict")
-    cfg = config_fn()
+    # the reference constructors take a width arg (audio_mnist.py:174,
+    # whalecalls.py:219, esrf_acoustic.py:90) — infer it from the first
+    # encoder conv's out-channels so narrow checkpoints convert too
+    d = int(np.asarray(sd_E["layers.0.weight"]).shape[0])
+    try:
+        cfg = config_fn(d=d)
+    except TypeError:  # patched/partial config fns that pin their own width
+        cfg = config_fn()
     params_E, params_G, vars_D = convert_bigan_tree(cfg, sd_E, sd_G, sd_D, embed_keys)
     state = _fresh_bigan_state(cfg, params_E, params_G, vars_D)
     mean, std, stats_valid = _load_spect_stats(stats_prefix, cfg.image_size)
@@ -489,6 +496,7 @@ def _convert_spect_bigan(kind: str, config_fn, embed_keys, path_in: str,
     }
     save_checkpoint(path_out, tree, meta={
         "kind": kind, "converted_from": path_in, "stats_valid": stats_valid,
+        "d": d,
     })
     print(f"wrote {path_out}")
 
