@@ -120,7 +120,8 @@ class MNISTAttributeSCM:
         params["digit"] = CategoricalCM.fit_params(jnp.asarray(digit), 10)
 
         n = len(t)
-        nb = max(n // batch_size, 1)
+        batch_size = min(batch_size, n)
+        nb = n // batch_size
         n_use = nb * batch_size
         data = jnp.asarray(np.concatenate([t, i, s], axis=1)[:n_use])
 

@@ -146,3 +146,21 @@ def test_mnist_attribute_scm_fit_and_cf():
     scm2 = MNISTAttributeSCM.from_state_dict(scm.state_dict())
     cfb = scm2.sample_cf(jax.random.PRNGKey(2), obs, {"thickness": obs["thickness"] + 2.0})
     assert np.allclose(np.asarray(cfb["intensity"]), np.asarray(cf["intensity"]), atol=1e-4)
+
+
+def test_mnist_attribute_scm_fit_small_dataset():
+    """n < batch_size must clamp the batch, not gather out of bounds.
+
+    Regression: ``nb = max(n // batch_size, 1)`` with the default
+    batch_size=10_000 on a small dataset made ``permutation(n_use)``
+    index past the data (clamped gather -> batches dominated by the
+    last row)."""
+    attrs = _ground_truth_attrs(256, seed=3)
+    scm = MNISTAttributeSCM.fit(attrs, steps=3)
+    lp = scm.log_prob({
+        "thickness": attrs["thickness"][:32],
+        "intensity": attrs["intensity"][:32],
+        "slant": attrs["slant"][:32],
+        "digit": attrs["digit"][:32],
+    })
+    assert np.isfinite(float(np.asarray(lp["thickness"]).mean()))

@@ -1,0 +1,39 @@
+#!/bin/bash
+# Whale-call quality battery at a real training budget (round-3: the
+# 256^2 family had throughput benchmarks but no at-budget quality run).
+# BiGAN + VAE + call-type classifier trained at full d=64 width on the
+# synthetic stand-in (pass --nocall-dir/--shotgun-dir/--upcall-dir via
+# WHALE_DIRS to reproduce the reference's setup on a real archive), then
+# the CF-effectiveness and generation scores for both model families and
+# the SSIM encoder fine-tune. Artifacts land in .whale_battery/
+# (git-ignored).
+#
+# NOTE: published numbers (RESULTS.md) use EPOCHS=2000; smaller values
+# keep an exploratory run affordable but will NOT reproduce them.
+set -e
+cd "$(dirname "$0")/.."
+D=${1:-.whale_battery}
+EPOCHS=${EPOCHS:-2000}
+VAE_EPOCHS=${VAE_EPOCHS:-400}
+WIDTH=${WIDTH:-64}   # published numbers use the full d=64 width
+WHALE_DIRS=${WHALE_DIRS:-}
+mkdir -p "$D"
+
+# checkpoint only at the end: the d=64 256^2 BiGAN train state serializes
+# to multi-GB on this 1-core host (same reasoning as tools/audio_battery.sh)
+python train_whale_bigan.py $WHALE_DIRS --steps "$EPOCHS" --d "$WIDTH" \
+  --checkpoint-every "$EPOCHS" --output-path "$D"
+python train_whale_clf.py $WHALE_DIRS --epochs 60 --output-path "$D"
+python train_whale_vae.py $WHALE_DIRS --steps "$VAE_EPOCHS" --d "$WIDTH" \
+  --checkpoint-every "$VAE_EPOCHS" --output-path "$D"
+python finetune_whale_bigan.py $WHALE_DIRS --metric ssim --steps 40 \
+  --model-file "$D/whale-bigan.tar"
+mv whale-bigan-finetuned-ssim.tar "$D/"  # finetune writes to CWD
+
+echo "=== BiGAN CF scores (base + fine-tuned encoder) ==="
+python whale_cf_score.py $WHALE_DIRS --model-dir "$D" \
+  --bigan-ft whale-bigan-finetuned-ssim.tar
+echo "=== VAE CF score ==="
+python whale_cf_score.py $WHALE_DIRS --model-dir "$D" --vae whale-vae.tar
+echo "=== generator score ==="
+python whale_generator_score.py --model-dir "$D"
