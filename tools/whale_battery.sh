@@ -17,23 +17,33 @@ EPOCHS=${EPOCHS:-2000}
 VAE_EPOCHS=${VAE_EPOCHS:-400}
 WIDTH=${WIDTH:-64}   # published numbers use the full d=64 width
 WHALE_DIRS=${WHALE_DIRS:-}
+# PAUSE: seconds to idle between stages. The single-tenant axon tunnel on
+# the dev host sometimes wedges a client that connects immediately after
+# the previous one disconnects; a few minutes of settle time avoids it.
+PAUSE=${PAUSE:-0}
 mkdir -p "$D"
 
 # checkpoint only at the end: the d=64 256^2 BiGAN train state serializes
 # to multi-GB on this 1-core host (same reasoning as tools/audio_battery.sh)
-python train_whale_bigan.py $WHALE_DIRS --steps "$EPOCHS" --d "$WIDTH" \
+python -u train_whale_bigan.py $WHALE_DIRS --steps "$EPOCHS" --d "$WIDTH" \
   --checkpoint-every "$EPOCHS" --output-path "$D"
-python train_whale_clf.py $WHALE_DIRS --epochs 60 --output-path "$D"
-python train_whale_vae.py $WHALE_DIRS --steps "$VAE_EPOCHS" --d "$WIDTH" \
+sleep "$PAUSE"
+python -u train_whale_clf.py $WHALE_DIRS --epochs 60 --output-path "$D"
+sleep "$PAUSE"
+python -u train_whale_vae.py $WHALE_DIRS --steps "$VAE_EPOCHS" --d "$WIDTH" \
   --checkpoint-every "$VAE_EPOCHS" --output-path "$D"
-python finetune_whale_bigan.py $WHALE_DIRS --metric ssim --steps 40 \
+sleep "$PAUSE"
+python -u finetune_whale_bigan.py $WHALE_DIRS --metric ssim --steps 40 \
   --model-file "$D/whale-bigan.tar"
 mv whale-bigan-finetuned-ssim.tar "$D/"  # finetune writes to CWD
+sleep "$PAUSE"
 
 echo "=== BiGAN CF scores (base + fine-tuned encoder) ==="
-python whale_cf_score.py $WHALE_DIRS --model-dir "$D" \
+python -u whale_cf_score.py $WHALE_DIRS --model-dir "$D" \
   --bigan-ft whale-bigan-finetuned-ssim.tar
+sleep "$PAUSE"
 echo "=== VAE CF score ==="
-python whale_cf_score.py $WHALE_DIRS --model-dir "$D" --vae whale-vae.tar
+python -u whale_cf_score.py $WHALE_DIRS --model-dir "$D" --vae whale-vae.tar
+sleep "$PAUSE"
 echo "=== generator score ==="
-python whale_generator_score.py --model-dir "$D"
+python -u whale_generator_score.py --model-dir "$D"
