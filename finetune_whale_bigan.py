@@ -8,6 +8,9 @@ parser = ArgumentParser()
 parser.add_argument("--nocall-dir", type=str, default=None)
 parser.add_argument("--shotgun-dir", type=str, default=None)
 parser.add_argument("--upcall-dir", type=str, default=None)
+parser.add_argument("--synthetic-clips", type=int, default=32,
+                    help="per-class clip count for the synthetic stand-in "
+                    "(ignored when real data dirs are given)")
 parser.add_argument("--model-file", type=str, default="whale-bigan.tar")
 parser.add_argument("--steps", type=int, default=20, help="epochs")
 parser.add_argument("--metric", type=str, default="mse", choices=["mse", "ssim"])
@@ -31,7 +34,8 @@ if __name__ == "__main__":
     install_cli_excepthook()
     from imagecfgen_tpu.models.bigan import BiGAN, whale_bigan_config
 
-    data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir)
+    data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir,
+                              synthetic_clips=args.synthetic_clips)
     x, calls, _ = collect_whale_arrays(data, "train")
     tree, stats, _meta = load_whale_bigan(args.model_file)
 

@@ -15,13 +15,15 @@ from ..ops.spectral import SpectStats
 
 def load_whale_dataset(
     nocall_dir: Optional[str], shotgun_dir: Optional[str], upcall_dir: Optional[str],
-    filter_length=None,
+    filter_length=None, synthetic_clips: int = 32,
 ) -> WhaleCallData:
     if nocall_dir and os.path.isdir(nocall_dir):
         return WhaleCallData(nocall_dir, shotgun_dir, upcall_dir, filter_length=filter_length)
     if nocall_dir:
         print(f"warning: {nocall_dir} not found; using the synthetic whale-call stand-in")
-    return WhaleCallData(filter_length=filter_length)
+    return WhaleCallData(
+        filter_length=filter_length, synthetic_clips_per_class=synthetic_clips
+    )
 
 
 def collect_whale_arrays(

@@ -17,6 +17,12 @@ EPOCHS=${EPOCHS:-2000}
 VAE_EPOCHS=${VAE_EPOCHS:-400}
 WIDTH=${WIDTH:-64}   # published numbers use the full d=64 width
 WHALE_DIRS=${WHALE_DIRS:-}
+# size of the synthetic stand-in when no real archive dirs are given; the
+# default 32 clips/class gives only ~76 train windows (2 steps/epoch at
+# batch 32) — far too few total steps to escape the reference init's
+# D=0.5 incubation at any sane epoch count. The published run uses 560.
+SYNTH_CLIPS=${SYNTH_CLIPS:-32}
+WHALE_DIRS="$WHALE_DIRS --synthetic-clips $SYNTH_CLIPS"
 # PAUSE: seconds to idle between stages. The single-tenant axon tunnel on
 # the dev host sometimes wedges a client that connects immediately after
 # the previous one disconnects; a few minutes of settle time avoids it.

@@ -9,6 +9,9 @@ parser = ArgumentParser()
 parser.add_argument("--nocall-dir", type=str, default=None)
 parser.add_argument("--shotgun-dir", type=str, default=None)
 parser.add_argument("--upcall-dir", type=str, default=None)
+parser.add_argument("--synthetic-clips", type=int, default=32,
+                    help="per-class clip count for the synthetic stand-in "
+                    "(ignored when real data dirs are given)")
 parser.add_argument("--steps", type=int, default=200, help="epochs")
 parser.add_argument("--batch-size", type=int, default=32)
 parser.add_argument("--l-rate", type=float, default=1e-4)
@@ -17,6 +20,12 @@ parser.add_argument("--output-path", type=str, default="")
 parser.add_argument("--checkpoint-every", type=int, default=10)
 parser.add_argument("--start-model", type=str, default=None)
 parser.add_argument("--d", type=int, default=64)
+parser.add_argument("--init-std", type=float, default=None,
+                    help="conv init std override; the reference's 0.001 "
+                         "(image_scms/whalecalls.py:23-26) is the default and "
+                         "spends thousands of steps at D(..)=0.5 before "
+                         "activations grow out of the near-zero init; 0.01 "
+                         "escapes immediately")
 parser.add_argument("--remat", action="store_true", default=False,
                     help="rematerialize forwards in backward (saves HBM on the large spectrogram stacks)")
 parser.add_argument("--no-remat", dest="remat", action="store_false")
@@ -39,12 +48,18 @@ if __name__ == "__main__":
     from imagecfgen_tpu.train.gan_trainer import GANTrainConfig, GANTrainer
 
     data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir,
-                              filter_length=args.filter_length)
+                              filter_length=args.filter_length,
+                              synthetic_clips=args.synthetic_clips)
     x, calls, stats = collect_whale_arrays(data, "train")
     attrs = {"call_type": calls}
     print(f"training on {len(x)} spectrogram windows")
 
-    model = BiGAN(whale_bigan_config(d=args.d))
+    cfg = whale_bigan_config(d=args.d)
+    if args.init_std is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, init_std=args.init_std)
+    model = BiGAN(cfg)
     trainer = GANTrainer(
         model,
         GANTrainConfig(learning_rate=args.l_rate, betas=(0.5, 0.9),

@@ -7,6 +7,9 @@ parser = ArgumentParser()
 parser.add_argument("--nocall-dir", type=str, default=None)
 parser.add_argument("--shotgun-dir", type=str, default=None)
 parser.add_argument("--upcall-dir", type=str, default=None)
+parser.add_argument("--synthetic-clips", type=int, default=32,
+                    help="per-class clip count for the synthetic stand-in "
+                    "(ignored when real data dirs are given)")
 parser.add_argument("--epochs", type=int, default=30)
 parser.add_argument("--batch-size", type=int, default=32)
 parser.add_argument("--l-rate", type=float, default=1e-4)
@@ -32,7 +35,8 @@ if __name__ == "__main__":
     )
 
     data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir,
-                              filter_length=args.filter_length)
+                              filter_length=args.filter_length,
+                              synthetic_clips=args.synthetic_clips)
     x, y, stats = collect_whale_arrays(data, "train")
     xv, yv_onehot, _ = collect_whale_arrays(data, "validation")
     yv = yv_onehot.argmax(axis=1)

@@ -8,6 +8,9 @@ parser = ArgumentParser()
 parser.add_argument("--nocall-dir", type=str, default=None)
 parser.add_argument("--shotgun-dir", type=str, default=None)
 parser.add_argument("--upcall-dir", type=str, default=None)
+parser.add_argument("--synthetic-clips", type=int, default=32,
+                    help="per-class clip count for the synthetic stand-in "
+                    "(ignored when real data dirs are given)")
 parser.add_argument("--steps", type=int, default=200, help="epochs")
 parser.add_argument("--batch-size", type=int, default=32)
 parser.add_argument("--l-rate", type=float, default=1e-4)
@@ -33,7 +36,8 @@ if __name__ == "__main__":
     from imagecfgen_tpu.parallel.mesh import DATA_AXIS
     from imagecfgen_tpu.train.vae_trainer import VAETrainConfig, VAETrainer
 
-    data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir)
+    data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir,
+                              synthetic_clips=args.synthetic_clips)
     x, calls, stats = collect_whale_arrays(data, "train")
 
     model = ConditionalVAE(whale_vae_config(d=args.d))

@@ -9,6 +9,9 @@ parser = ArgumentParser()
 parser.add_argument("--nocall-dir", type=str, default=None)
 parser.add_argument("--shotgun-dir", type=str, default=None)
 parser.add_argument("--upcall-dir", type=str, default=None)
+parser.add_argument("--synthetic-clips", type=int, default=32,
+                    help="per-class clip count for the synthetic stand-in "
+                    "(ignored when real data dirs are given)")
 parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--bigan", type=str, default="whale-bigan.tar")
 parser.add_argument("--bigan-ft", type=str, default=None)
@@ -34,7 +37,8 @@ if __name__ == "__main__":
     from imagecfgen_tpu.models.bigan import BiGAN, whale_bigan_config
     from imagecfgen_tpu.models.classifier import CNNClassifier, narw_classifier_config
 
-    data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir)
+    data = load_whale_dataset(args.nocall_dir, args.shotgun_dir, args.upcall_dir,
+                              synthetic_clips=args.synthetic_clips)
     tree, stats, _meta = load_whale_bigan(os.path.join(args.model_dir, args.bigan))
     x, calls, _ = collect_whale_arrays(data, "validation")
 
