@@ -83,3 +83,14 @@ def test_uncond_gan_trainer_step_small():
         state, _ = trainer.fit_epoch(state, data, jax.random.PRNGKey(2))
         p1 = np.asarray(jax.tree_util.tree_leaves(state.params_G)[0])
         assert np.abs(p0 - p1).max() > 0, mode
+
+
+def test_load_whale_dataset_synthetic_clips_passthrough():
+    """--synthetic-clips on the whale CLI scripts sizes the stand-in."""
+    from imagecfgen_tpu.cli.whale_common import load_whale_dataset
+
+    data = load_whale_dataset(None, None, None, synthetic_clips=8)
+    clips, labels = data._synthetic["train"]
+    vclips, _ = data._synthetic["validation"]
+    assert len(clips) + len(vclips) == 3 * 8
+    assert len(np.unique(labels)) == 3
