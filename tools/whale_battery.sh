@@ -27,17 +27,30 @@ WHALE_DIRS="$WHALE_DIRS --synthetic-clips $SYNTH_CLIPS"
 # the dev host sometimes wedges a client that connects immediately after
 # the previous one disconnects; a few minutes of settle time avoids it.
 PAUSE=${PAUSE:-0}
+# periodic checkpoint cadence for the two long (resumable) stages; with
+# the stall watchdog a wedge costs at most one cadence of progress
+CKPT_EVERY=${CKPT_EVERY:-250}
+# optional conv-init override for the BiGAN (e.g. INIT_STD=0.01 escapes
+# the reference init's D=0.5 incubation immediately; documented deviation)
+INIT_STD=${INIT_STD:-}
+INIT_FLAG=()
+if [ -n "$INIT_STD" ]; then INIT_FLAG=(--init-std "$INIT_STD"); fi
+STAGE="bash tools/tpu_stage.sh"
 mkdir -p "$D"
 
 # checkpoint only at the end: the d=64 256^2 BiGAN train state serializes
 # to multi-GB on this 1-core host (same reasoning as tools/audio_battery.sh)
-python -u train_whale_bigan.py $WHALE_DIRS --steps "$EPOCHS" --d "$WIDTH" \
-  --checkpoint-every "$EPOCHS" --output-path "$D"
+$STAGE "$D/bigan_stage.log" -- \
+  python -u train_whale_bigan.py $WHALE_DIRS --steps "$EPOCHS" --d "$WIDTH" \
+  --checkpoint-every "$CKPT_EVERY" --output-path "$D" --resume "${INIT_FLAG[@]}"
+tail -3 "$D/bigan_stage.log"
 sleep "$PAUSE"
 python -u train_whale_clf.py $WHALE_DIRS --epochs 60 --output-path "$D"
 sleep "$PAUSE"
-python -u train_whale_vae.py $WHALE_DIRS --steps "$VAE_EPOCHS" --d "$WIDTH" \
-  --checkpoint-every "$VAE_EPOCHS" --output-path "$D"
+$STAGE "$D/vae_stage.log" -- \
+  python -u train_whale_vae.py $WHALE_DIRS --steps "$VAE_EPOCHS" --d "$WIDTH" \
+  --checkpoint-every "$CKPT_EVERY" --output-path "$D" --resume
+tail -3 "$D/vae_stage.log"
 sleep "$PAUSE"
 python -u finetune_whale_bigan.py $WHALE_DIRS --metric ssim --steps 40 \
   --model-file "$D/whale-bigan.tar"

@@ -30,6 +30,8 @@ parser.add_argument("--remat", action="store_true", default=False,
                     help="rematerialize forwards in backward (saves HBM on the large spectrogram stacks)")
 parser.add_argument("--no-remat", dest="remat", action="store_false")
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--resume", action="store_true",
+                    help="continue from an existing whale-bigan.tar in --output-path")
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -73,12 +75,36 @@ if __name__ == "__main__":
         )
         print(f"warm-started from {args.start_model}")
 
+    out = os.path.join(args.output_path or ".", "whale-bigan.tar")
+    start_epoch = 0
+    if args.resume and os.path.exists(out):
+        import numpy as np
+
+        from imagecfgen_tpu.core.checkpoint import load_checkpoint
+
+        # template-typed load: optimizer states are optax NamedTuples and
+        # only deserialize structurally through flax from_bytes
+        template = {
+            "params_E": state.params_E, "params_G": state.params_G,
+            "vars_D": state.vars_D, "opt_eg": state.opt_eg,
+            "opt_d": state.opt_d, "step": state.step,
+            "spect_mean": np.asarray(stats.mean),
+            "spect_std": np.asarray(stats.std),
+        }
+        tree, meta = load_checkpoint(out, like=template)
+        state = state.replace(
+            params_E=tree["params_E"], params_G=tree["params_G"],
+            vars_D=tree["vars_D"], opt_eg=tree["opt_eg"], opt_d=tree["opt_d"],
+            step=tree["step"],
+        )
+        start_epoch = int(meta.get("epoch", 0))
+        print(f"resumed from {out} at epoch {start_epoch}")
+
     device_data = trainer.upload_dataset(x, attrs)
     key = jax.random.PRNGKey(args.seed + 1)
-    out = os.path.join(args.output_path or ".", "whale-bigan.tar")
     os.makedirs(args.output_path or ".", exist_ok=True)
     nb = max(len(x) // args.batch_size, 1)
-    for epoch in range(args.steps):
+    for epoch in range(start_epoch, args.steps):
         t0 = time.time()
         state, metrics = trainer.fit_epoch(state, device_data, jax.random.fold_in(key, epoch))
         profiling.sync(metrics)
