@@ -18,9 +18,12 @@ LOG=$1; shift
 STALL_SECS=${STALL_SECS:-360}
 SETTLE_SECS=${SETTLE_SECS:-300}
 MAX_RETRIES=${MAX_RETRIES:-4}
+POLL_SECS=${POLL_SECS:-60}
+HEALTH_CMD=${HEALTH_CMD:-}
 
 health() {
   # one shot, bounded; a hung probe means the tunnel is still down
+  if [ -n "$HEALTH_CMD" ]; then $HEALTH_CMD >> "$LOG.health" 2>&1; return $?; fi
   timeout 150 python -u -c "
 import jax, jax.numpy as jnp
 y = (jnp.ones((256,256)) @ jnp.ones((256,256))).sum()
@@ -36,7 +39,7 @@ while [ "$attempt" -le "$MAX_RETRIES" ]; do
   setsid "$@" >> "$LOG" 2>&1 &
   PGID=$!
   while true; do
-    sleep 60
+    sleep "$POLL_SECS"
     if ! kill -0 "$PGID" 2>/dev/null; then
       wait "$PGID"; rc=$?
       if [ "$rc" -eq 0 ]; then
