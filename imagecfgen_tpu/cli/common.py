@@ -120,6 +120,7 @@ def save_bigan(path: str, state, scaler: AttributeScaler, meta: Optional[Dict] =
         "opt_eg": state.opt_eg,
         "opt_d": state.opt_d,
         "step": state.step,
+        "rng": state.rng,  # per-step noise stream; needed for bit-faithful resume
         "scaler": scaler.state_dict(),
     }
     save_checkpoint(path, tree, meta={"kind": "bigan", **(meta or {})})

@@ -48,6 +48,7 @@ def save_whale_bigan(path: str, state, stats: SpectStats, meta=None):
         "params_E": state.params_E, "params_G": state.params_G,
         "vars_D": state.vars_D, "opt_eg": state.opt_eg, "opt_d": state.opt_d,
         "step": state.step,
+        "rng": state.rng,  # per-step noise stream; needed for bit-faithful resume
         "spect_mean": np.asarray(stats.mean), "spect_std": np.asarray(stats.std),
     }
     save_checkpoint(path, tree, meta={"kind": "bigan-whale", **(meta or {})})

@@ -84,6 +84,7 @@ if __name__ == "__main__":
 
         # template-typed load: optimizer states are optax NamedTuples and
         # only deserialize structurally through flax from_bytes
+        raw, _ = load_checkpoint(out)
         template = {
             "params_E": state.params_E, "params_G": state.params_G,
             "vars_D": state.vars_D, "opt_eg": state.opt_eg,
@@ -91,11 +92,14 @@ if __name__ == "__main__":
             "spect_mean": np.asarray(stats.mean),
             "spect_std": np.asarray(stats.std),
         }
+        if "rng" in raw:  # older checkpoints predate the carried noise stream
+            template["rng"] = state.rng
         tree, meta = load_checkpoint(out, like=template)
         state = state.replace(
             params_E=tree["params_E"], params_G=tree["params_G"],
             vars_D=tree["vars_D"], opt_eg=tree["opt_eg"], opt_d=tree["opt_d"],
             step=tree["step"],
+            **({"rng": tree["rng"]} if "rng" in tree else {}),
         )
         start_epoch = int(meta.get("epoch", 0))
         print(f"resumed from {out} at epoch {start_epoch}")

@@ -88,9 +88,15 @@ if __name__ == "__main__":
                 "spect_mean": np.asarray(stats.mean),
                 "spect_std": np.asarray(stats.std),
             }
+            if "rng" in raw:  # older checkpoints predate the carried noise stream
+                template["rng"] = state.rng
             tree, meta = load_checkpoint(out, like=template)
             state = jax.device_put(
-                state.replace(params=tree["params"], opt=tree["opt"]), repl
+                state.replace(
+                    params=tree["params"], opt=tree["opt"],
+                    **({"rng": tree["rng"]} if "rng" in tree else {}),
+                ),
+                repl,
             )
             start_epoch = int(meta.get("epoch", 0))
             print(f"resumed from {out} at epoch {start_epoch}")
@@ -110,6 +116,7 @@ if __name__ == "__main__":
                 {
                     "params": jax.device_get(state.params),
                     "opt": jax.device_get(state.opt),
+                    "rng": jax.device_get(state.rng),
                     "spect_mean": np.asarray(stats.mean),
                     "spect_std": np.asarray(stats.std),
                 },
