@@ -54,6 +54,7 @@ def save_audio_bigan(path: str, state, stats: SpectStats, data: AudioMNISTData, 
         "opt_eg": state.opt_eg,
         "opt_d": state.opt_d,
         "step": state.step,
+        "rng": state.rng,  # per-step noise stream; needed for bit-faithful resume
         "spect_mean": np.asarray(stats.mean),
         "spect_std": np.asarray(stats.std),
     }

@@ -14,6 +14,11 @@ ZIP=${2:-}
 # affordable on this 1-core host but will NOT reproduce those metrics.
 EPOCHS=${EPOCHS:-300}
 VAE_EPOCHS=${VAE_EPOCHS:-100}
+# periodic checkpoint cadence for the two long (resumable) stages; with
+# the tools/tpu_stage.sh stall watchdog a tunnel wedge costs at most one
+# cadence of progress
+CKPT_EVERY=${CKPT_EVERY:-300}
+STAGE="bash tools/tpu_stage.sh"
 ZIPFLAG=()
 [ -n "$ZIP" ] && ZIPFLAG=(--zip-path "$ZIP")
 mkdir -p "$D"
@@ -22,14 +27,18 @@ mkdir -p "$D"
 # memory and ~1.4 GB as the serialized msgpack tar (params + both optimizer
 # states + spect stats); this host serializes on one core, so periodic saves
 # would dominate wall time. The same applies to the VAE below.
-python train_audio_mnist_bigan.py "${ZIPFLAG[@]}" --steps "$EPOCHS" \
-  --checkpoint-every "$EPOCHS" --output-path "$D"
+$STAGE "$D/bigan_stage.log" -- \
+  python -u train_audio_mnist_bigan.py "${ZIPFLAG[@]}" --steps "$EPOCHS" \
+  --checkpoint-every "$CKPT_EVERY" --output-path "$D" --resume
+tail -3 "$D/bigan_stage.log"
 python train_audio_mnist_attribute_scm.py "${ZIPFLAG[@]}" --steps 2000 \
   --output-path "$D"
 python train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute digit \
   --epochs 30 --output-path "$D"
-python train_audio_mnist_vae.py "${ZIPFLAG[@]}" --steps "$VAE_EPOCHS" \
-  --checkpoint-every "$VAE_EPOCHS" --output-path "$D"
+$STAGE "$D/vae_stage.log" -- \
+  python -u train_audio_mnist_vae.py "${ZIPFLAG[@]}" --steps "$VAE_EPOCHS" \
+  --checkpoint-every "$CKPT_EVERY" --output-path "$D" --resume
+tail -3 "$D/vae_stage.log"
 
 echo "=== BiGAN CF score (digit) ==="
 python audiomnist_bigan_score.py "${ZIPFLAG[@]}" --model-dir "$D"

@@ -27,8 +27,10 @@ if [ ! -f "$D/mnist-x-train.npy" ]; then
   python create_test_dataset.py --synthetic 2048 --out-dir "$D" "${NOISE[@]}"
 fi
 
-python train_mnist_image_scm.py --data-dir "$D" --steps "$EPOCHS" \
-  --d-updates-per-g-update 3 --save-images-every 200 --output-path "$D"
+bash tools/tpu_stage.sh "$D/bigan_stage.log" -- \
+  python -u train_mnist_image_scm.py --data-dir "$D" --steps "$EPOCHS" \
+  --d-updates-per-g-update 3 --save-images-every 200 --output-path "$D" --resume
+tail -3 "$D/bigan_stage.log"
 python finetune_mnist_bigan.py --data-dir "$D" --steps 60 \
   --model-file "$D/mnist-bigan.tar"
 python train_mnist_attribute_scm.py --data-dir "$D" --steps 2000 --output-path "$D"

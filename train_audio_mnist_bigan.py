@@ -29,6 +29,8 @@ parser.add_argument("--init-std", type=float, default=None,
                          "grow out of the near-zero init ('incubation'); "
                          "0.01 escapes immediately")
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--resume", action="store_true",
+                    help="continue from an existing audio-mnist-bigan.tar in --output-path")
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -63,13 +65,39 @@ if __name__ == "__main__":
         ),
     )
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
+    out = os.path.join(args.output_path or ".", "audio-mnist-bigan.tar")
+    start_epoch = 0
+    if args.resume and os.path.exists(out):
+        import numpy as np
+
+        from imagecfgen_tpu.core.checkpoint import load_checkpoint
+
+        # template-typed load: optax states only deserialize structurally
+        raw, _ = load_checkpoint(out)
+        template = {
+            "params_E": state.params_E, "params_G": state.params_G,
+            "vars_D": state.vars_D, "opt_eg": state.opt_eg,
+            "opt_d": state.opt_d, "step": state.step,
+            "spect_mean": np.asarray(stats.mean),
+            "spect_std": np.asarray(stats.std),
+        }
+        if "rng" in raw:  # older checkpoints predate the carried noise stream
+            template["rng"] = state.rng
+        tree, meta = load_checkpoint(out, like=template)
+        state = state.replace(
+            params_E=tree["params_E"], params_G=tree["params_G"],
+            vars_D=tree["vars_D"], opt_eg=tree["opt_eg"], opt_d=tree["opt_d"],
+            step=tree["step"],
+            **({"rng": tree["rng"]} if "rng" in tree else {}),
+        )
+        start_epoch = int(meta.get("epoch", 0))
+        print(f"resumed from {out} at epoch {start_epoch}")
+
     device_data = trainer.upload_dataset(x, attrs)
     key = jax.random.PRNGKey(args.seed + 1)
-
-    out = os.path.join(args.output_path or ".", "audio-mnist-bigan.tar")
     os.makedirs(args.output_path or ".", exist_ok=True)
     nb = len(x) // args.batch_size
-    for epoch in range(args.steps):
+    for epoch in range(start_epoch, args.steps):
         t0 = time.time()
         state, metrics = trainer.fit_epoch(state, device_data, jax.random.fold_in(key, epoch))
         profiling.sync(metrics)

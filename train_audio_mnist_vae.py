@@ -16,6 +16,8 @@ parser.add_argument("--output-path", type=str, default="")
 parser.add_argument("--checkpoint-every", type=int, default=10)
 parser.add_argument("--d", type=int, default=64)
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--resume", action="store_true",
+                    help="continue from an existing audio-mnist-vae.tar in --output-path")
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -67,7 +69,34 @@ if __name__ == "__main__":
 
     out = os.path.join(args.output_path or ".", "audio-mnist-vae.tar")
     os.makedirs(args.output_path or ".", exist_ok=True)
-    for epoch in range(args.steps):
+    start_epoch = 0
+    if args.resume and os.path.exists(out):
+        from imagecfgen_tpu.core.checkpoint import load_checkpoint
+
+        raw, meta = load_checkpoint(out)
+        if "opt" in raw:
+            # template-typed re-read: optax states only deserialize
+            # structurally through flax from_bytes
+            template = {
+                "params": state.params, "opt": state.opt,
+                "spect_mean": np.asarray(stats.mean),
+                "spect_std": np.asarray(stats.std),
+            }
+            if "rng" in raw:
+                template["rng"] = state.rng
+            tree, meta = load_checkpoint(out, like=template)
+            state = jax.device_put(
+                state.replace(
+                    params=tree["params"], opt=tree["opt"],
+                    **({"rng": tree["rng"]} if "rng" in tree else {}),
+                ),
+                repl,
+            )
+            start_epoch = int(meta.get("epoch", 0))
+            print(f"resumed from {out} at epoch {start_epoch}")
+        else:
+            print(f"warning: {out} has no optimizer state; not resuming")
+    for epoch in range(start_epoch, args.steps):
         t0 = time.time()
         state, metrics = epoch_jit(state, device_data, jax.random.fold_in(key, epoch))
         profiling.sync(metrics)
@@ -80,6 +109,8 @@ if __name__ == "__main__":
                 out,
                 {
                     "params": jax.device_get(state.params),
+                    "opt": jax.device_get(state.opt),
+                    "rng": jax.device_get(state.rng),
                     "spect_mean": np.asarray(stats.mean),
                     "spect_std": np.asarray(stats.std),
                 },
