@@ -70,13 +70,17 @@ def measure_batch(
     the per-image python path; ``engine="python"`` forces the fallback.
     Both produce identical values (shared deterministic thinning order)."""
     images = np.asarray(images)
-    if engine == "auto" and pool is None:
+    if engine not in ("auto", "native", "python"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine in ("auto", "native") and pool is None:
         from . import engine as native_engine
 
         if native_engine.native_available():
             return native_engine.measure_batch_native(
                 images, threshold=threshold, scale=scale, bound_frac=bound_frac
             )
+        if engine == "native":
+            raise RuntimeError("native morphometry engine unavailable")
     args = ((img, threshold, scale, bound_frac, False) for img in images)
     gen = map(_measure_unpack, args) if pool is None else pool.imap(
         _measure_unpack, args, chunksize=chunksize
