@@ -20,6 +20,8 @@ parser.add_argument("--generator-size", type=int, default=64)
 parser.add_argument("--output-path", type=str, default="")
 parser.add_argument("--checkpoint-every", type=int, default=10)
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--resume", action="store_true",
+                    help="continue from an existing artifact in --output-path")
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -51,13 +53,35 @@ if __name__ == "__main__":
         ),
     )
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
+    out = os.path.join(args.output_path or ".", f"audio-gan-{args.loss_mode}.tar")
+    start_epoch = 0
+    if args.resume and os.path.exists(out):
+        from imagecfgen_tpu.core.checkpoint import load_checkpoint
+
+        # template-typed load: optax states only deserialize structurally
+        raw, _ = load_checkpoint(out)
+        template = {
+            "params_G": state.params_G, "params_D": state.params_D,
+            "opt_g": state.opt_g, "opt_d": state.opt_d, "step": state.step,
+            "spect_mean": np.asarray(stats.mean),
+            "spect_std": np.asarray(stats.std),
+        }
+        if "rng" in raw:  # older checkpoints predate the carried noise stream
+            template["rng"] = state.rng
+        tree, meta = load_checkpoint(out, like=template)
+        state = state.replace(
+            params_G=tree["params_G"], params_D=tree["params_D"],
+            opt_g=tree["opt_g"], opt_d=tree["opt_d"], step=tree["step"],
+            **({"rng": tree["rng"]} if "rng" in tree else {}),
+        )
+        start_epoch = int(meta.get("epoch", 0))
+        print(f"resumed from {out} at epoch {start_epoch}")
+
     device_data = trainer.upload_dataset(x)
     key = jax.random.PRNGKey(args.seed + 1)
-
-    out = os.path.join(args.output_path or ".", f"audio-gan-{args.loss_mode}.tar")
     os.makedirs(args.output_path or ".", exist_ok=True)
     nb = max(len(x) // args.batch_size, 1)
-    for epoch in range(args.steps):
+    for epoch in range(start_epoch, args.steps):
         t0 = time.time()
         state, metrics = trainer.fit_epoch(state, device_data, jax.random.fold_in(key, epoch))
         profiling.sync(metrics)
@@ -73,6 +97,7 @@ if __name__ == "__main__":
                 {
                     "params_G": st.params_G, "params_D": st.params_D,
                     "opt_g": st.opt_g, "opt_d": st.opt_d, "step": st.step,
+                    "rng": st.rng,
                     "spect_mean": np.asarray(stats.mean),
                     "spect_std": np.asarray(stats.std),
                 },
