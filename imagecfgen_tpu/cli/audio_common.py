@@ -54,11 +54,16 @@ def save_audio_bigan(path: str, state, stats: SpectStats, data: AudioMNISTData, 
         "opt_eg": state.opt_eg,
         "opt_d": state.opt_d,
         "step": state.step,
-        "rng": state.rng,  # per-step noise stream; needed for bit-faithful resume
         "spect_mean": np.asarray(stats.mean),
         "spect_std": np.asarray(stats.std),
     }
-    m = {"kind": "bigan-audio-mnist", "vocabs": _vocab_meta(data), **(meta or {})}
+    # per-step noise stream; needed for bit-faithful resume (absent on
+    # adapter objects, e.g. the finetune scripts' converted trees)
+    rng = getattr(state, "rng", None)
+    if rng is not None:
+        tree["rng"] = rng
+    m = {"kind": "bigan-audio-mnist", "vocabs": _vocab_meta(data),
+         "carries_rng": rng is not None, **(meta or {})}
     save_checkpoint(path, tree, meta=m)
 
 

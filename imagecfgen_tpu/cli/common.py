@@ -120,10 +120,17 @@ def save_bigan(path: str, state, scaler: AttributeScaler, meta: Optional[Dict] =
         "opt_eg": state.opt_eg,
         "opt_d": state.opt_d,
         "step": state.step,
-        "rng": state.rng,  # per-step noise stream; needed for bit-faithful resume
         "scaler": scaler.state_dict(),
     }
-    save_checkpoint(path, tree, meta={"kind": "bigan", **(meta or {})})
+    # per-step noise stream; needed for bit-faithful resume (absent on
+    # adapter objects, e.g. the finetune scripts' converted trees)
+    rng = getattr(state, "rng", None)
+    if rng is not None:
+        tree["rng"] = rng
+    save_checkpoint(
+        path, tree,
+        meta={"kind": "bigan", "carries_rng": rng is not None, **(meta or {})},
+    )
 
 
 def load_bigan(path: str):

@@ -48,10 +48,18 @@ def save_whale_bigan(path: str, state, stats: SpectStats, meta=None):
         "params_E": state.params_E, "params_G": state.params_G,
         "vars_D": state.vars_D, "opt_eg": state.opt_eg, "opt_d": state.opt_d,
         "step": state.step,
-        "rng": state.rng,  # per-step noise stream; needed for bit-faithful resume
         "spect_mean": np.asarray(stats.mean), "spect_std": np.asarray(stats.std),
     }
-    save_checkpoint(path, tree, meta={"kind": "bigan-whale", **(meta or {})})
+    # per-step noise stream; needed for bit-faithful resume (absent on
+    # adapter objects, e.g. the finetune scripts' converted trees)
+    rng = getattr(state, "rng", None)
+    if rng is not None:
+        tree["rng"] = rng
+    save_checkpoint(
+        path, tree,
+        meta={"kind": "bigan-whale", "carries_rng": rng is not None,
+              **(meta or {})},
+    )
 
 
 def load_whale_bigan(path: str):

@@ -41,6 +41,34 @@ def save_checkpoint(path: str, tree: Any, meta: Optional[Dict] = None) -> None:
     os.replace(tmp, path)
 
 
+def load_meta(path: str) -> Dict:
+    """Read only a checkpoint's JSON meta header (no payload parse)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not an imagecfgen-tpu checkpoint")
+        _version, meta_len = struct.unpack("<II", f.read(8))
+        return json.loads(f.read(meta_len).decode("utf-8"))
+
+
+def load_resume(path: str, template: Dict, rng_template: Any = None):
+    """Template-typed load for ``--resume``: optax optimizer states only
+    deserialize structurally through flax ``from_bytes``, so callers pass
+    a template built from a freshly-initialised train state. The per-step
+    noise stream (``rng``) is included when the checkpoint carries it
+    (``carries_rng`` meta flag; files written before the flag get one raw
+    parse to check)."""
+    meta = load_meta(path)
+    has_rng = meta.get("carries_rng")
+    if has_rng is None and rng_template is not None:
+        raw, _ = load_checkpoint(path)
+        has_rng = "rng" in raw
+    template = dict(template)
+    if rng_template is not None and has_rng:
+        template["rng"] = rng_template
+    return load_checkpoint(path, like=template)
+
+
 def load_checkpoint(path: str, like: Any = None):
     """Read a checkpoint. With ``like`` (a template pytree) the result has
     the template's exact structure/dtypes; without it, returns the raw

@@ -72,6 +72,8 @@ def measure_batch(
     images = np.asarray(images)
     if engine not in ("auto", "native", "python"):
         raise ValueError(f"unknown engine {engine!r}")
+    if engine == "native" and pool is not None:
+        raise ValueError("engine='native' uses its own thread pool; drop the pool arg")
     if engine in ("auto", "native") and pool is None:
         from . import engine as native_engine
 

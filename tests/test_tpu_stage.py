@@ -33,7 +33,7 @@ def test_stall_kill_and_retry(tmp_path):
     ).returncode
     assert rc == 0
     text = log.read_text()
-    assert "stalled" in text and "killing pgid" in text
+    assert "no log/io activity" in text and "killing pgid" in text
     assert "attempt 2" in text and "resumed fine" in text and "done" in text
 
 

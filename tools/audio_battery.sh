@@ -22,6 +22,13 @@ STAGE="bash tools/tpu_stage.sh"
 ZIPFLAG=()
 [ -n "$ZIP" ] && ZIPFLAG=(--zip-path "$ZIP")
 mkdir -p "$D"
+# A battery measures a FRESH training run: unless RESUME=1, clear any
+# artifacts from a previous run so --resume (which exists for the
+# watchdog's mid-run retries) cannot silently score a stale model.
+if [ "${RESUME:-0}" != "1" ]; then
+  rm -f "$D"/audio-mnist-bigan.tar "$D"/audio-mnist-vae.tar \
+    "$D"/audio-mnist-clf*.tar "$D"/audio-attribute-scm.tar
+fi
 
 # checkpoint only at the end: the raw d=64 BiGAN train state is ~0.5 GB in
 # memory and ~1.4 GB as the serialized msgpack tar (params + both optimizer

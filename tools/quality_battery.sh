@@ -21,6 +21,13 @@ else
 fi
 EPOCHS=${EPOCHS:-600}
 mkdir -p "$D"
+# A battery measures a FRESH training run: unless RESUME=1, clear any
+# artifacts from a previous run so --resume (which exists for the
+# watchdog's mid-run retries) cannot silently score a stale model.
+if [ "${RESUME:-0}" != "1" ]; then
+  rm -f "$D"/mnist-bigan.tar "$D"/mnist-vae.tar "$D"/mnist-clf.tar \
+    "$D"/mnist-attribute-scm.tar "$D"/mnist-bigan-finetuned-*.tar
+fi
 
 if [ ! -f "$D/mnist-x-train.npy" ]; then
   python create_train_dataset.py --synthetic 8192 --out-dir "$D" "${NOISE[@]}"

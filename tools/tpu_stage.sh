@@ -20,6 +20,9 @@ SETTLE_SECS=${SETTLE_SECS:-300}
 MAX_RETRIES=${MAX_RETRIES:-4}
 POLL_SECS=${POLL_SECS:-60}
 HEALTH_CMD=${HEALTH_CMD:-}
+# a wedged tunnel client still trickles ~4 B/s of keepalives, so only IO
+# deltas at least this large (bytes per poll) count as real progress
+IO_DELTA_MIN=${IO_DELTA_MIN:-1048576}
 
 health() {
   # one shot, bounded; a hung probe means the tunnel is still down
@@ -38,6 +41,8 @@ while [ "$attempt" -le "$MAX_RETRIES" ]; do
   echo "[tpu_stage] attempt $attempt: $*" >> "$LOG"
   setsid "$@" >> "$LOG" 2>&1 &
   PGID=$!
+  last_io=""
+  last_activity=$(date +%s)
   while true; do
     sleep "$POLL_SECS"
     if ! kill -0 "$PGID" 2>/dev/null; then
@@ -49,9 +54,21 @@ while [ "$attempt" -le "$MAX_RETRIES" ]; do
       echo "[tpu_stage] exited rc=$rc; retrying" >> "$LOG"
       break
     fi
-    age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
-    if [ "$age" -gt "$STALL_SECS" ]; then
-      echo "[tpu_stage] stalled ${age}s; killing pgid $PGID" >> "$LOG"
+    # activity = log growth OR process IO progress. The IO check keeps
+    # legitimately silent phases alive (multi-GB checkpoint fetch/write,
+    # long jit compiles stream bytes without printing); a wedged tunnel
+    # client is the one state where rchar+wchar freeze entirely.
+    now=$(date +%s)
+    io=$(awk -F': ' '/^(rchar|wchar)/{s+=$2} END{print s+0}' "/proc/$PGID/io" 2>/dev/null)
+    log_age=$(( now - $(stat -c %Y "$LOG") ))
+    if [ "$log_age" -le "$POLL_SECS" ]; then
+      last_activity=$now
+    elif [ -n "$last_io" ] && [ -n "$io" ] && [ $(( io - last_io )) -ge "$IO_DELTA_MIN" ]; then
+      last_activity=$now
+    fi
+    last_io=$io
+    if [ $(( now - last_activity )) -gt "$STALL_SECS" ]; then
+      echo "[tpu_stage] no log/io activity for $(( now - last_activity ))s; killing pgid $PGID" >> "$LOG"
       kill -TERM -"$PGID" 2>/dev/null; sleep 5
       kill -KILL -"$PGID" 2>/dev/null
       break

@@ -16,7 +16,7 @@ D=${1:-.whale_battery}
 EPOCHS=${EPOCHS:-2000}
 VAE_EPOCHS=${VAE_EPOCHS:-400}
 WIDTH=${WIDTH:-64}   # published numbers use the full d=64 width
-WHALE_DIRS=${WHALE_DIRS:-}
+WHALE_DIRS=${WHALE_DIRS:-}   # NOTE: word-split on purpose; paths must not contain spaces
 # size of the synthetic stand-in when no real archive dirs are given; the
 # default 32 clips/class gives only ~76 train windows (2 steps/epoch at
 # batch 32) — far too few total steps to escape the reference init's
@@ -37,6 +37,13 @@ INIT_FLAG=()
 if [ -n "$INIT_STD" ]; then INIT_FLAG=(--init-std "$INIT_STD"); fi
 STAGE="bash tools/tpu_stage.sh"
 mkdir -p "$D"
+# A battery measures a FRESH training run: unless RESUME=1, clear any
+# artifacts from a previous run so --resume (which exists for the
+# watchdog's mid-run retries) cannot silently score a stale model.
+if [ "${RESUME:-0}" != "1" ]; then
+  rm -f "$D"/whale-bigan.tar "$D"/whale-vae.tar "$D"/whale-clf.tar \
+    "$D"/whale-bigan-finetuned-*.tar
+fi
 
 # checkpoint only at the end: the d=64 256^2 BiGAN train state serializes
 # to multi-GB on this 1-core host (same reasoning as tools/audio_battery.sh)

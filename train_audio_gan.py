@@ -56,19 +56,15 @@ if __name__ == "__main__":
     out = os.path.join(args.output_path or ".", f"audio-gan-{args.loss_mode}.tar")
     start_epoch = 0
     if args.resume and os.path.exists(out):
-        from imagecfgen_tpu.core.checkpoint import load_checkpoint
+        from imagecfgen_tpu.core.checkpoint import load_resume
 
-        # template-typed load: optax states only deserialize structurally
-        raw, _ = load_checkpoint(out)
         template = {
             "params_G": state.params_G, "params_D": state.params_D,
             "opt_g": state.opt_g, "opt_d": state.opt_d, "step": state.step,
             "spect_mean": np.asarray(stats.mean),
             "spect_std": np.asarray(stats.std),
         }
-        if "rng" in raw:  # older checkpoints predate the carried noise stream
-            template["rng"] = state.rng
-        tree, meta = load_checkpoint(out, like=template)
+        tree, meta = load_resume(out, template, rng_template=state.rng)
         state = state.replace(
             params_G=tree["params_G"], params_D=tree["params_D"],
             opt_g=tree["opt_g"], opt_d=tree["opt_d"], step=tree["step"],
@@ -101,7 +97,8 @@ if __name__ == "__main__":
                     "spect_mean": np.asarray(stats.mean),
                     "spect_std": np.asarray(stats.std),
                 },
-                meta={"kind": f"uncond-gan-{args.loss_mode}", "epoch": epoch + 1},
+                meta={"kind": f"uncond-gan-{args.loss_mode}", "epoch": epoch + 1,
+                      "carries_rng": True},
             )
     print(f"saved {out}")
 

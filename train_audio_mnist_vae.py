@@ -71,31 +71,26 @@ if __name__ == "__main__":
     os.makedirs(args.output_path or ".", exist_ok=True)
     start_epoch = 0
     if args.resume and os.path.exists(out):
-        from imagecfgen_tpu.core.checkpoint import load_checkpoint
+        from imagecfgen_tpu.core.checkpoint import load_meta, load_resume
 
-        raw, meta = load_checkpoint(out)
-        if "opt" in raw:
-            # template-typed re-read: optax states only deserialize
-            # structurally through flax from_bytes
+        if load_meta(out).get("carries_rng"):
             template = {
-                "params": state.params, "opt": state.opt,
+                "params": state.params, "opt": state.opt, "step": state.step,
                 "spect_mean": np.asarray(stats.mean),
                 "spect_std": np.asarray(stats.std),
             }
-            if "rng" in raw:
-                template["rng"] = state.rng
-            tree, meta = load_checkpoint(out, like=template)
+            tree, meta = load_resume(out, template, rng_template=state.rng)
             state = jax.device_put(
                 state.replace(
                     params=tree["params"], opt=tree["opt"],
-                    **({"rng": tree["rng"]} if "rng" in tree else {}),
+                    step=tree["step"], rng=tree["rng"],
                 ),
                 repl,
             )
             start_epoch = int(meta.get("epoch", 0))
             print(f"resumed from {out} at epoch {start_epoch}")
         else:
-            print(f"warning: {out} has no optimizer state; not resuming")
+            print(f"warning: {out} predates resumable VAE checkpoints; not resuming")
     for epoch in range(start_epoch, args.steps):
         t0 = time.time()
         state, metrics = epoch_jit(state, device_data, jax.random.fold_in(key, epoch))
@@ -110,11 +105,13 @@ if __name__ == "__main__":
                 {
                     "params": jax.device_get(state.params),
                     "opt": jax.device_get(state.opt),
+                    "step": jax.device_get(state.step),
                     "rng": jax.device_get(state.rng),
                     "spect_mean": np.asarray(stats.mean),
                     "spect_std": np.asarray(stats.std),
                 },
-                meta={"kind": "vae-audio-mnist", "epoch": epoch + 1},
+                meta={"kind": "vae-audio-mnist", "epoch": epoch + 1,
+                      "carries_rng": True},
             )
     print(f"saved {out}")
 

@@ -59,15 +59,14 @@ if __name__ == "__main__":
     if args.resume and os.path.exists(ckpt_path):
         from imagecfgen_tpu.core.checkpoint import load_checkpoint
 
-        raw, _ = load_checkpoint(ckpt_path)
+        from imagecfgen_tpu.core.checkpoint import load_resume
+
         template = {
             "params_E": state.params_E, "params_G": state.params_G,
             "vars_D": state.vars_D, "opt_eg": state.opt_eg, "opt_d": state.opt_d,
             "step": state.step, "scaler": scaler.state_dict(),
         }
-        if "rng" in raw:  # older checkpoints predate the carried noise stream
-            template["rng"] = state.rng
-        tree, meta = load_checkpoint(ckpt_path, like=template)
+        tree, meta = load_resume(ckpt_path, template, rng_template=state.rng)
         state = state.replace(
             params_E=tree["params_E"], params_G=tree["params_G"],
             vars_D=tree["vars_D"], opt_eg=tree["opt_eg"], opt_d=tree["opt_d"],

@@ -80,11 +80,8 @@ if __name__ == "__main__":
     if args.resume and os.path.exists(out):
         import numpy as np
 
-        from imagecfgen_tpu.core.checkpoint import load_checkpoint
+        from imagecfgen_tpu.core.checkpoint import load_resume
 
-        # template-typed load: optimizer states are optax NamedTuples and
-        # only deserialize structurally through flax from_bytes
-        raw, _ = load_checkpoint(out)
         template = {
             "params_E": state.params_E, "params_G": state.params_G,
             "vars_D": state.vars_D, "opt_eg": state.opt_eg,
@@ -92,9 +89,7 @@ if __name__ == "__main__":
             "spect_mean": np.asarray(stats.mean),
             "spect_std": np.asarray(stats.std),
         }
-        if "rng" in raw:  # older checkpoints predate the carried noise stream
-            template["rng"] = state.rng
-        tree, meta = load_checkpoint(out, like=template)
+        tree, meta = load_resume(out, template, rng_template=state.rng)
         state = state.replace(
             params_E=tree["params_E"], params_G=tree["params_G"],
             vars_D=tree["vars_D"], opt_eg=tree["opt_eg"], opt_d=tree["opt_d"],
