@@ -71,3 +71,33 @@ def test_whale_vae_resume_matches_straight_run(tmp_path):
     _run("train_whale_vae.py", split, steps=2)
     _run("train_whale_vae.py", split, steps=4, resume=True)
     _assert_equal(straight / "whale-vae.tar", split / "whale-vae.tar")
+
+
+@pytest.mark.slow
+def test_mnist_bigan_resume_matches_straight_run(tmp_path):
+    """Same property through train_mnist_image_scm.py (shared load_resume)."""
+    data = tmp_path / "data"
+    data.mkdir()
+    env = dict(os.environ, IMAGECFGEN_PLATFORM="cpu", XLA_FLAGS="")
+    subprocess.run(
+        [sys.executable, "-u", os.path.join(REPO, "create_train_dataset.py"),
+         "--synthetic", "128", "--out-dir", str(data)],
+        check=True, env=env, timeout=900,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    def run(out_dir, steps, resume):
+        cmd = [sys.executable, "-u", os.path.join(REPO, "train_mnist_image_scm.py"),
+               "--data-dir", str(data), "--steps", str(steps),
+               "--checkpoint-every", "2", "--save-images-every", "0",
+               "--output-path", str(out_dir)]
+        if resume:
+            cmd.append("--resume")
+        subprocess.run(cmd, check=True, env=env, timeout=900,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    straight, split = tmp_path / "straight", tmp_path / "split"
+    straight.mkdir(), split.mkdir()
+    run(straight, 4, False)
+    run(split, 2, False)
+    run(split, 4, True)
+    _assert_equal(straight / "mnist-bigan.tar", split / "mnist-bigan.tar")
