@@ -177,6 +177,14 @@ def resample(
         return resample_fft(wav, num)
     if filter == "kaiser_best":
         return resample_kaiser_best(wav, sr_out // g, sr_in // g)
-    if filter in ("scipy", "scipy_poly"):
+    if filter == "scipy":
+        # librosa's res_type="scipy" means FFT-domain scipy.signal.resample
+        # (the module docstring's whole point); accepting it as a polyphase
+        # alias would silently hand back the opposite kernel
+        raise ValueError(
+            'filter="scipy" is ambiguous: use "fft" (librosa res_type='
+            '"scipy" semantics, the default) or "scipy_poly" (resample_poly)'
+        )
+    if filter == "scipy_poly":
         return resample_poly(wav, sr_out // g, sr_in // g, beta=beta)
     raise ValueError(f"unknown filter {filter!r}")

@@ -138,6 +138,16 @@ class GANTrainConfig:
     fused_eg_d: bool = False
 
 
+def _concat_pairs(x_a, x_b, z_a, z_b, attrs):
+    """Stack two (x, z) D-input pairs into one 2B batch (shared by the
+    fused EG-phase and fused D-step paths; attrs are duplicated)."""
+    xcat = jnp.concatenate([x_a, x_b], axis=0)
+    zcat = jnp.concatenate([z_a, z_b], axis=0)
+    acat = jax.tree_util.tree_map(
+        lambda v: jnp.concatenate([v, v], axis=0), attrs)
+    return xcat, zcat, acat
+
+
 class GANTrainer:
     """Builds and runs the jitted training program for a :class:`BiGAN`."""
 
@@ -251,10 +261,7 @@ class GANTrainer:
                 gz = _g_fwd(params_eg["G"], z, attrs)
                 if self.tcfg.fused_eg_d:
                     b = x.shape[0]
-                    xcat = jnp.concatenate([x, gz], axis=0)
-                    zcat = jnp.concatenate([ex, z], axis=0)
-                    acat = jax.tree_util.tree_map(
-                        lambda v: jnp.concatenate([v, v], axis=0), attrs)
+                    xcat, zcat, acat = _concat_pairs(x, gz, ex, z, attrs)
                     d, bs2 = _d_fwd(
                         vars_D["params"], vars_D["batch_stats"], xcat, zcat,
                         acat, kd1)
@@ -299,10 +306,7 @@ class GANTrainer:
             b = x.shape[0]
 
             def d_loss_both(params_d, bs):
-                xcat = jnp.concatenate([x, gz], axis=0)
-                zcat = jnp.concatenate([ex, z], axis=0)
-                acat = jax.tree_util.tree_map(
-                    lambda v: jnp.concatenate([v, v], axis=0), attrs)
+                xcat, zcat, acat = _concat_pairs(x, gz, ex, z, attrs)
                 d, new_bs = _d_fwd(params_d, bs, xcat, zcat, acat, kd3)
                 d_valid, d_fake = d[:b], d[b:]
                 loss = bce_logits(d_valid, 1) + bce_logits(d_fake, 0)

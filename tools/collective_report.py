@@ -105,7 +105,7 @@ def collective_summary(hlo_text: str) -> dict:
 FAMILIES = {
     # name -> (config builder, batch per the reference's real runs)
     "mnist": (lambda: mnist_bigan_config(), 64),
-    "audio": (lambda: audio_mnist_bigan_config(), 64),
+    "audio": (lambda: audio_mnist_bigan_config(), 128),
     "whale": (lambda: whale_bigan_config(), 32),
     "esrf": (lambda: esrf_bigan_config(), 64),
 }

@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-PEAK_FLOPS = {"v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12}
+from bench import PEAK_FLOPS, _chip_gen  # single source for chip peaks
 
 FAMILIES = {
     # family -> (image_size, reference batch, betas)
@@ -167,7 +167,7 @@ def run_case(family: str, dtype: str, remat: bool, batch: int | None,
         sps = nb * epochs / dt
         rec["steps_per_sec"] = round(sps, 3)
         rec["step_time_ms"] = round(1e3 / sps, 1)
-        gen = os.environ.get("PALLAS_AXON_TPU_GEN", "v5e")
+        gen = _chip_gen()
         if flops == flops:
             rec["mfu_pct"] = round(100 * sps * flops / PEAK_FLOPS.get(gen, 197e12), 1)
         rec["live_memory"] = _live_mem()
