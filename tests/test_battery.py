@@ -29,7 +29,10 @@ def work(tmp_path_factory):
 
 
 def run(work, script, *args, timeout=900):
-    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    # IMAGECFGEN_PLATFORM pins through jax.config inside the package; the
+    # bare JAX_PLATFORMS env var is IGNORED by the axon TPU plugin, so with
+    # it alone these "CPU" subprocesses silently ran on the TPU
+    env = {**os.environ, "IMAGECFGEN_PLATFORM": "cpu"}
     env.pop("XLA_FLAGS", None)  # single virtual device is fine here
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, script), *map(str, args)],

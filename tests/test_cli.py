@@ -91,7 +91,7 @@ def test_dataset_synthesis_small(tmp_path):
             "--out-dir", str(tmp_path),
         ],
         capture_output=True, text=True, timeout=300, cwd=REPO,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        env={**os.environ, "IMAGECFGEN_PLATFORM": "cpu"},
     )
     assert proc.returncode == 0, proc.stderr
     import numpy as np
