@@ -8,8 +8,9 @@
 # the SSIM encoder fine-tune. Artifacts land in .whale_battery/
 # (git-ignored).
 #
-# NOTE: published numbers (RESULTS.md) use EPOCHS=2000; smaller values
-# keep an exploratory run affordable but will NOT reproduce them.
+# NOTE: the intended publication run is SYNTH_CLIPS=560 EPOCHS=1000
+# (see RESULTS.md); smaller values keep an exploratory run affordable
+# but will NOT reproduce it.
 set -e
 cd "$(dirname "$0")/.."
 D=${1:-.whale_battery}
