@@ -22,6 +22,21 @@ parser.add_argument("--save-images-every", type=int, default=2)
 parser.add_argument("--checkpoint-every", type=int, default=10)
 parser.add_argument("--resume", action="store_true")
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--throughput", action="store_true",
+                    help="opt-in speed mode: fused D steps + fused EG-phase D "
+                         "forwards + bf16 Adam first moment (+28-32%% steps/s on "
+                         "the MNIST config, docs/PERF.md). Slightly changes "
+                         "training semantics; default keeps exact reference "
+                         "numerics")
+
+def _throughput_kw(args):
+    """--throughput -> the opt-in GANTrainConfig speed flags (docs/PERF.md)."""
+    if not getattr(args, "throughput", False):
+        return {}
+    import jax.numpy as jnp
+
+    return dict(fused_d_steps=True, fused_eg_d=True, mu_dtype=jnp.bfloat16)
+
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -51,6 +66,7 @@ if __name__ == "__main__":
             learning_rate=args.l_rate,
             batch_size=args.batch_size,
             d_updates_per_g_update=args.d_updates_per_g_update,
+            **_throughput_kw(args),
         ),
     )
     ckpt_path = os.path.join(args.output_path or ".", "mnist-bigan.tar")
