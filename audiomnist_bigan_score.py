@@ -9,11 +9,18 @@ from argparse import ArgumentParser
 import os
 
 parser = ArgumentParser()
-parser.add_argument("--zip-path", type=str, default=None)
+parser.add_argument("--zip-path", "-d", "--data", type=str, default=None)
 parser.add_argument("--model-dir", type=str, default="")
-parser.add_argument("--attribute", type=str, default="digit")
+parser.add_argument("--attribute", "--cf-attr", type=str, default="digit")
+parser.add_argument("--image-model", "-m", type=str, default=None,
+                    help="BiGAN checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--attribute-model", "-a", type=str, default=None,
+                    help="attribute-SCM checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--digit-clf", type=str, default=None)
+parser.add_argument("--gender-clf", type=str, default=None)
+parser.add_argument("--accent-clf", type=str, default=None)
 parser.add_argument("--batch-size", type=int, default=128)
-parser.add_argument("--mc-rounds", type=int, default=1)
+parser.add_argument("--mc-rounds", "-r", type=int, default=1)
 parser.add_argument("--seed", type=int, default=0)
 
 if __name__ == "__main__":
@@ -37,10 +44,11 @@ if __name__ == "__main__":
     from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
 
     data = load_audio_dataset(args.zip_path)
-    tree, stats, _meta = load_audio_bigan(os.path.join(args.model_dir, "audio-mnist-bigan.tar"))
-    scm = load_audio_scm(os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
+    tree, stats, _meta = load_audio_bigan(args.image_model or os.path.join(args.model_dir, "audio-mnist-bigan.tar"))
+    scm = load_audio_scm(args.attribute_model or os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
     ctree, cmeta = load_checkpoint(
-        os.path.join(args.model_dir, f"audio-mnist-{args.attribute}-clf.tar")
+        {"digit": args.digit_clf, "gender": args.gender_clf, "accent": args.accent_clf}.get(args.attribute)
+        or os.path.join(args.model_dir, f"audio-mnist-{args.attribute}-clf.tar")
     )
     clf = CNNClassifier(audio_mnist_classifier_config(
         CARDINALITIES[args.attribute], width=cmeta.get("width", 1.0)))

@@ -10,10 +10,14 @@ import os
 
 parser = ArgumentParser()
 parser.add_argument("--model-dir", type=str, default="")
-parser.add_argument("--zip-path", type=str, default=None)
-parser.add_argument("--num-samples", type=int, default=8)
-parser.add_argument("--mc-rounds", type=int, default=1)
-parser.add_argument("--outdir", type=str, default="audio-samples")
+parser.add_argument("--zip-path", "-d", "--data", type=str, default=None)
+parser.add_argument("--num-samples", "-n", type=int, default=8)
+parser.add_argument("--mc-rounds", "-r", type=int, default=1)
+parser.add_argument("--outdir", "-o", type=str, default="audio-samples")
+parser.add_argument("--image-model", "-m", type=str, default=None,
+                    help="BiGAN checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--attribute-model", "-a", type=str, default=None,
+                    help="attribute-SCM checkpoint file (overrides --model-dir layout)")
 parser.add_argument("--digit-clf", type=str, default=None)
 parser.add_argument("--gender-clf", type=str, default=None)
 parser.add_argument("--accent-clf", type=str, default=None)
@@ -37,8 +41,8 @@ if __name__ == "__main__":
     from imagecfgen_tpu.models.bigan import BiGAN, audio_mnist_bigan_config
     from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
 
-    tree, stats, meta = load_audio_bigan(os.path.join(args.model_dir, "audio-mnist-bigan.tar"))
-    scm = load_audio_scm(os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
+    tree, stats, meta = load_audio_bigan(args.image_model or os.path.join(args.model_dir, "audio-mnist-bigan.tar"))
+    scm = load_audio_scm(args.attribute_model or os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
     data = load_audio_dataset(args.zip_path)
     model = BiGAN(audio_mnist_bigan_config(d=meta.get("d", 64)))
 

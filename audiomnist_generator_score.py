@@ -6,8 +6,20 @@ import os
 
 parser = ArgumentParser()
 parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--image-model", "-m", type=str, default=None,
+                    help="BiGAN checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--attribute-model", "-a", type=str, default=None,
+                    help="attribute-SCM checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--digit-clf", type=str, default=None)
+parser.add_argument("--gender-clf", type=str, default=None)
+parser.add_argument("--accent-clf", type=str, default=None)
+parser.add_argument("--zip-path", "-d", "--data", type=str, default=None,
+                    help="accepted for reference compatibility (generation "
+                         "needs no dataset)")
+parser.add_argument("--mc-rounds", "-r", type=int, default=1,
+                    help="scoring passes with fresh z draws, averaged")
 parser.add_argument("--attribute", type=str, default="digit")
-parser.add_argument("--n", type=int, default=1024)
+parser.add_argument("--n", "-n", "--num-samples", type=int, default=1024)
 parser.add_argument("--batch-size", type=int, default=256)
 parser.add_argument("--seed", type=int, default=0)
 
@@ -25,10 +37,11 @@ if __name__ == "__main__":
     from imagecfgen_tpu.models.classifier import CNNClassifier, audio_mnist_classifier_config
     from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
 
-    tree, stats, _meta = load_audio_bigan(os.path.join(args.model_dir, "audio-mnist-bigan.tar"))
-    scm = load_audio_scm(os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
+    tree, stats, _meta = load_audio_bigan(args.image_model or os.path.join(args.model_dir, "audio-mnist-bigan.tar"))
+    scm = load_audio_scm(args.attribute_model or os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
     ctree, cmeta = load_checkpoint(
-        os.path.join(args.model_dir, f"audio-mnist-{args.attribute}-clf.tar")
+        {"digit": args.digit_clf, "gender": args.gender_clf, "accent": args.accent_clf}.get(args.attribute)
+        or os.path.join(args.model_dir, f"audio-mnist-{args.attribute}-clf.tar")
     )
     clf = CNNClassifier(audio_mnist_classifier_config(
         CARDINALITIES[args.attribute], width=cmeta.get("width", 1.0)))
@@ -38,19 +51,21 @@ if __name__ == "__main__":
 
     rng = jax.random.PRNGKey(args.seed)
     correct = 0
-    for i in range(0, args.n, args.batch_size):
-        b = min(args.batch_size, args.n - i)
-        rng, k1, k2 = jax.random.split(rng, 3)
-        samp = scm.sample(k1, n=b)
-        attrs = {
-            k: jax.nn.one_hot(samp[k].reshape((-1,)).astype(jnp.int32), card)
-            for k, card in CARDINALITIES.items()
-        }
-        z = jax.random.normal(k2, (b, 1, 1, 512))
-        gen = G_apply(z, attrs)
-        pred = jnp.argmax(clf_fn(gen), axis=1)
-        correct += int((pred == samp[args.attribute].reshape((-1,))).sum())
-    print(f"generated {args.attribute} accuracy: {correct / args.n:.4f}")
+    for _r in range(args.mc_rounds):
+        for i in range(0, args.n, args.batch_size):
+            b = min(args.batch_size, args.n - i)
+            rng, k1, k2 = jax.random.split(rng, 3)
+            samp = scm.sample(k1, n=b)
+            attrs = {
+                k: jax.nn.one_hot(samp[k].reshape((-1,)).astype(jnp.int32), card)
+                for k, card in CARDINALITIES.items()
+            }
+            z = jax.random.normal(k2, (b, 1, 1, 512))
+            gen = G_apply(z, attrs)
+            pred = jnp.argmax(clf_fn(gen), axis=1)
+            correct += int((pred == samp[args.attribute].reshape((-1,))).sum())
+    print(f"generated {args.attribute} accuracy: "
+          f"{correct / (args.n * args.mc_rounds):.4f}")
 
     from imagecfgen_tpu.cli.common import clean_exit
     clean_exit()

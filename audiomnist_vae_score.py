@@ -4,9 +4,18 @@ from argparse import ArgumentParser
 import os
 
 parser = ArgumentParser()
-parser.add_argument("--zip-path", type=str, default=None)
+parser.add_argument("--zip-path", "-d", "--data", type=str, default=None)
 parser.add_argument("--model-dir", type=str, default="")
-parser.add_argument("--attribute", type=str, default="digit")
+parser.add_argument("--attribute", "--cf-attr", type=str, default="digit")
+parser.add_argument("--image-model", "-m", type=str, default=None,
+                    help="VAE checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--attribute-model", "-a", type=str, default=None,
+                    help="attribute-SCM checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--digit-clf", type=str, default=None)
+parser.add_argument("--gender-clf", type=str, default=None)
+parser.add_argument("--accent-clf", type=str, default=None)
+parser.add_argument("--mc-rounds", "-r", type=int, default=1,
+                    help="CF target resamples per batch, scores averaged")
 parser.add_argument("--batch-size", type=int, default=128)
 parser.add_argument("--seed", type=int, default=0)
 
@@ -28,11 +37,12 @@ if __name__ == "__main__":
     from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
 
     data = load_audio_dataset(args.zip_path)
-    vtree, _ = load_checkpoint(os.path.join(args.model_dir, "audio-mnist-vae.tar"))
+    vtree, _ = load_checkpoint(args.image_model or os.path.join(args.model_dir, "audio-mnist-vae.tar"))
     stats = SpectStats(jnp.asarray(vtree["spect_mean"]), jnp.asarray(vtree["spect_std"]))
-    scm = load_audio_scm(os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
+    scm = load_audio_scm(args.attribute_model or os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
     ctree, cmeta = load_checkpoint(
-        os.path.join(args.model_dir, f"audio-mnist-{args.attribute}-clf.tar")
+        {"digit": args.digit_clf, "gender": args.gender_clf, "accent": args.accent_clf}.get(args.attribute)
+        or os.path.join(args.model_dir, f"audio-mnist-{args.attribute}-clf.tar")
     )
     clf = CNNClassifier(audio_mnist_classifier_config(
         CARDINALITIES[args.attribute], width=cmeta.get("width", 1.0)))
@@ -51,17 +61,18 @@ if __name__ == "__main__":
         ab = {k: jnp.asarray(v[i : i + args.batch_size]) for k, v in attrs.items()}
         mean, _ = model.encoder.apply({"params": vtree["params"]["encoder"]}, xb, ab)
         obs = {k: jnp.argmax(v, axis=1) for k, v in ab.items()}
-        rng, k1, k2 = jax.random.split(rng, 3)
-        new_cls = resample_excluding(scm.graph, scm.params, scm.state, k1, args.attribute, obs)
-        cf_obs = scm.sample_cf(k2, obs, {args.attribute: new_cls})
-        cf_ab = {
-            k: jax.nn.one_hot(cf_obs[k].reshape((-1,)).astype(jnp.int32), CARDINALITIES[k])
-            for k in CARDINALITIES
-        }
-        rec = model.decoder.apply({"params": vtree["params"]["decoder"]}, mean, cf_ab)
-        pred = jnp.argmax(clf_fn(rec), axis=1)
-        correct += int((pred == new_cls).sum())
-        total += len(xb)
+        for _r in range(args.mc_rounds):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            new_cls = resample_excluding(scm.graph, scm.params, scm.state, k1, args.attribute, obs)
+            cf_obs = scm.sample_cf(k2, obs, {args.attribute: new_cls})
+            cf_ab = {
+                k: jax.nn.one_hot(cf_obs[k].reshape((-1,)).astype(jnp.int32), CARDINALITIES[k])
+                for k in CARDINALITIES
+            }
+            rec = model.decoder.apply({"params": vtree["params"]["decoder"]}, mean, cf_ab)
+            pred = jnp.argmax(clf_fn(rec), axis=1)
+            correct += int((pred == new_cls).sum())
+            total += len(xb)
     print(f"vae {args.attribute} cf accuracy: {correct / max(total, 1):.4f}")
 
     from imagecfgen_tpu.cli.common import clean_exit

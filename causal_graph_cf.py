@@ -11,14 +11,24 @@ import os
 parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--graph", type=str, default=None,
+                    help="attribute-SCM checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--image-scm", type=str, default=None,
+                    help="BiGAN checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--classifier", type=str, default=None,
+                    help="classifier checkpoint file (overrides --model-dir layout)")
+parser.add_argument("cf_attribute", type=str, nargs="?", default=None,
+                    help="positional attribute name (reference CLI); overrides --attr")
 parser.add_argument("--attr", type=str, default="thickness")
 parser.add_argument("--n-images", type=int, default=4)
-parser.add_argument("--n-points", type=int, default=25)
+parser.add_argument("--n-points", "-n", "--num-samples", type=int, default=25)
 parser.add_argument("--output", type=str, default="causal-graph-cf.png")
 parser.add_argument("--seed", type=int, default=0)
 
 if __name__ == "__main__":
     args = parser.parse_args()
+    if args.cf_attribute:
+        args.attr = args.cf_attribute
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -39,9 +49,9 @@ if __name__ == "__main__":
     x, attrs, _ = load_mnist_training_data(args.data_dir, split)
     n, p = args.n_images, args.n_points
 
-    tree, scaler, _ = load_bigan(os.path.join(args.model_dir, "mnist-bigan.tar"))
-    scm = load_attribute_scm(os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
-    clf_tree, _ = load_checkpoint(os.path.join(args.model_dir, "mnist_clf.tar"))
+    tree, scaler, _ = load_bigan(args.image_scm or os.path.join(args.model_dir, "mnist-bigan.tar"))
+    scm = load_attribute_scm(args.graph or os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
+    clf_tree, _ = load_checkpoint(args.classifier or os.path.join(args.model_dir, "mnist_clf.tar"))
     clf = CNNClassifier(mnist_classifier_config())
     clf_fn = jax.jit(lambda im: clf.apply({"params": clf_tree["params"]}, im))
     engine = CounterfactualEngine(

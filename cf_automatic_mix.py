@@ -9,8 +9,8 @@ parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--model", type=str, default="vae", choices=["vae", "bigan"])
-parser.add_argument("--original-digit", type=int, default=None)
-parser.add_argument("--target-digit", type=int, default=3)
+parser.add_argument("--original-digit", "--original", type=int, default=None)
+parser.add_argument("--target-digit", "--target", type=int, default=3)
 parser.add_argument("--sample-points", type=int, default=200)
 parser.add_argument("--metric", type=str, default="mixture",
                     choices=["mixture", "mse", "ssim"])

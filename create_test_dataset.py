@@ -14,7 +14,7 @@ import numpy as np
 parser = ArgumentParser()
 parser.add_argument("--mnist-dir", type=str, default=None)
 parser.add_argument("--synthetic", type=int, default=2048)
-parser.add_argument("--csv", type=str, default=None,
+parser.add_argument("--csv", "--deepscm-csv", type=str, default=None,
                     help="optional DeepSCM csv supplying thickness/intensity")
 parser.add_argument("--out-dir", type=str, default="")
 parser.add_argument("--seed", type=int, default=1)

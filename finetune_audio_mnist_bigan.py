@@ -5,7 +5,7 @@ import os
 import time
 
 parser = ArgumentParser()
-parser.add_argument("--zip-path", type=str, default=None)
+parser.add_argument("--zip-path", "-d", "--data", type=str, default=None)
 parser.add_argument("--model-file", type=str, default="audio-mnist-bigan.tar")
 parser.add_argument("--steps", type=int, default=20, help="epochs")
 parser.add_argument("--metric", type=str, default="mse", choices=["mse", "ssim"])

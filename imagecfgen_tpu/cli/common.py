@@ -109,6 +109,12 @@ def scale_attrs_np(scaler: AttributeScaler, attrs: Mapping[str, np.ndarray]) -> 
     return {k: np.asarray(v) for k, v in scaled.items()}
 
 
+def artifact_path(override, model_dir, default_name):
+    """Resolve a model artifact: the reference's per-file flags (e.g.
+    ``--image-model``) override the ``--model-dir`` layout when given."""
+    return override if override else os.path.join(model_dir or ".", default_name)
+
+
 # ------------------------------------------------------------------ BiGAN
 
 

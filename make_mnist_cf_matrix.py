@@ -16,6 +16,8 @@ parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--per-digit", type=int, default=4)
 parser.add_argument("--sample-points", type=int, default=50)
 parser.add_argument("--output", type=str, default="mnist-cf-matrix.pkl")
+parser.add_argument("--metric", type=str, default="mixture",
+                    choices=["mixture", "mse", "ssim"])
 parser.add_argument("--seed", type=int, default=0)
 
 if __name__ == "__main__":
@@ -65,7 +67,7 @@ if __name__ == "__main__":
                 try:
                     samples, mval = explainer.explain(
                         xb, ab, target_class=tgt,
-                        sample_points=args.sample_points, metric="mixture",
+                        sample_points=args.sample_points, metric=args.metric,
                     )
                     preds = np.asarray(jnp.argmax(clf_fn(jnp.asarray(samples)), axis=1))
                     if (preds == tgt).any():
@@ -78,7 +80,7 @@ if __name__ == "__main__":
         matrix = matrix / np.maximum(counts, 1)
         matrix[counts == 0] = np.nan
     with open(args.output, "wb") as f:
-        pickle.dump({"matrix": matrix, "counts": counts}, f)
+        pickle.dump({"matrix": matrix, "counts": counts, "metric": args.metric}, f)
     print(f"saved {args.output}")
 
     from imagecfgen_tpu.cli.common import clean_exit

@@ -6,6 +6,11 @@ import os
 parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--clf-type", type=str, default="morpho",
+                    choices=["morpho", "raw"],
+                    help="morpho: mnist_clf.tar (Morpho-MNIST-trained); raw: "
+                         "mnist_clf_raw.tar (plain-MNIST-trained, reference "
+                         "uncertainty_evolution.py:25-27)")
 parser.add_argument("--n-images", type=int, default=6)
 parser.add_argument("--steps", type=int, default=30)
 parser.add_argument("--output", type=str, default="mnist-cf-comparisons.png")
@@ -36,7 +41,10 @@ if __name__ == "__main__":
     n = args.n_images
 
     tree, _, _ = load_bigan(os.path.join(args.model_dir, "mnist-bigan.tar"))
-    clf_tree, _ = load_checkpoint(os.path.join(args.model_dir, "mnist_clf.tar"))
+    clf_tree, _ = load_checkpoint(os.path.join(
+        args.model_dir,
+        "mnist_clf.tar" if args.clf_type == "morpho" else "mnist_clf_raw.tar",
+    ))
     model = BiGAN(mnist_bigan_config())
     clf = CNNClassifier(mnist_classifier_config())
     E_fn = jax.jit(lambda xx, aa: model.encoder.apply({"params": tree["params_E"]}, xx, aa))

@@ -8,6 +8,10 @@ import os
 parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--image-scm", type=str, default=None,
+                    help="BiGAN checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--classifier", type=str, default=None,
+                    help="classifier checkpoint file (overrides --model-dir layout)")
 parser.add_argument("--image-index", type=int, default=0)
 parser.add_argument("--target-class", type=int, default=3)
 parser.add_argument("--sample-points", type=int, default=50)
@@ -38,8 +42,8 @@ if __name__ == "__main__":
     x, attrs, scaler = load_mnist_training_data(args.data_dir, split)
     a_scaled = scale_attrs_np(scaler, attrs)
 
-    tree, _, _ = load_bigan(os.path.join(args.model_dir, "mnist-bigan.tar"))
-    clf_tree, _ = load_checkpoint(os.path.join(args.model_dir, "mnist_clf.tar"))
+    tree, _, _ = load_bigan(args.image_scm or os.path.join(args.model_dir, "mnist-bigan.tar"))
+    clf_tree, _ = load_checkpoint(args.classifier or os.path.join(args.model_dir, "mnist_clf.tar"))
     model = BiGAN(mnist_bigan_config())
     clf = CNNClassifier(mnist_classifier_config())
     E_fn = jax.jit(lambda xx, aa: model.encoder.apply({"params": tree["params_E"]}, xx, aa))

@@ -14,6 +14,10 @@ parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--image-model", type=str, default="mnist-bigan.tar")
+parser.add_argument("--attribute-model", type=str, default=None,
+                    help="attribute-SCM checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--model-name", type=str, default="BiGAN",
+                    help="label used in the figure title")
 parser.add_argument("--limit", type=int, default=256)
 parser.add_argument("--workers", type=int, default=max(os.cpu_count() - 1, 1))
 parser.add_argument("--output", type=str, default="mnist-gan-measured-cf.png")
@@ -52,7 +56,7 @@ if __name__ == "__main__":
     ab = {k: jnp.asarray(np.asarray(v)[:n]) for k, v in attrs.items()}
 
     tree, scaler, _ = load_bigan(os.path.join(args.model_dir, args.image_model))
-    scm = load_attribute_scm(os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
+    scm = load_attribute_scm(args.attribute_model or os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
     model = BiGAN(mnist_bigan_config())
     engine = CounterfactualEngine(model, tree["params_E"], tree["params_G"], scm, scaler)
 
@@ -86,7 +90,7 @@ if __name__ == "__main__":
         axs[i].set_title(f"{attribute.capitalize()} (median |err| {err[attribute]:.3f})")
     if pool is not None:
         pool.close()
-    fig.suptitle("Morpho-MNIST measured CF parity (BiGAN)")
+    fig.suptitle(f"Morpho-MNIST measured CF parity ({args.model_name})")
     fig.tight_layout()
     fig.savefig(args.output)
     print("median abs errors:", {k: round(v, 4) for k, v in errors.items()})

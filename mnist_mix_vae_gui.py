@@ -13,6 +13,12 @@ parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--image-index", type=int, default=0)
+parser.add_argument("--original", type=int, default=None,
+                    help="pick the first image of this digit (reference GUI "
+                         "semantics) instead of --image-index, and enable the "
+                         "digit-mix slider")
+parser.add_argument("--target", type=int, default=8,
+                    help="digit whose one-hot the mix slider morphs toward")
 parser.add_argument("--headless", action="store_true")
 parser.add_argument("--output", type=str, default="mnist-mix-gui.png")
 parser.add_argument("--seed", type=int, default=0)
@@ -41,10 +47,37 @@ if __name__ == "__main__":
         BiGAN(mnist_bigan_config()), tree["params_E"], tree["params_G"], scm, scaler
     )
 
-    i = args.image_index
+    digits = np.asarray(attrs["digit"]).argmax(axis=1)
+    if args.original is not None:
+        matches = np.flatnonzero(digits == args.original)
+        if not len(matches):
+            raise SystemExit(f"no image of digit {args.original} in the split")
+        i = int(matches[0])
+    else:
+        i = args.image_index
     xb = jnp.asarray(x[i : i + 1])
     ab = {k: jnp.asarray(np.asarray(v)[i : i + 1]) for k, v in attrs.items()}
     key = jax.random.PRNGKey(args.seed)
+
+    # digit-mix path (reference mnist_mix_vae_gui.py:99: regenerate with the
+    # one-hot interpolated between the original and --target digit)
+    import jax as _jax
+
+    scaled_ab = engine.scaler.scale({k: jnp.asarray(v) for k, v in ab.items()})
+    codes = engine.bigan.encoder.apply({"params": engine.params_E}, xb, scaled_ab)
+    eye = np.eye(10, dtype=np.float32)
+    orig_dig = int(digits[i])
+
+    @_jax.jit
+    def _mix_gen(v):
+        mixed = dict(scaled_ab)
+        mixed["digit"] = jnp.asarray(
+            ((1.0 - v) * eye[orig_dig] + v * eye[args.target]).reshape(1, 10)
+        )
+        return engine.bigan.generator.apply({"params": engine.params_G}, codes, mixed)
+
+    def mix_image(v):
+        return np.asarray(_mix_gen(jnp.float32(v))).reshape(28, 28)
 
     def cf_image(thickness, intensity, slant):
         iv = {
@@ -70,7 +103,7 @@ if __name__ == "__main__":
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(3, 5, figsize=(12, 8))
+        fig, axes = plt.subplots(4, 5, figsize=(12, 10))
         for r, (name, (lo, hi, _)) in enumerate(ranges.items()):
             for c, v in enumerate(np.linspace(lo, hi, 5)):
                 vals = dict(thickness=t0, intensity=i0, slant=s0)
@@ -78,7 +111,12 @@ if __name__ == "__main__":
                 axes[r, c].imshow(cf_image(**vals), cmap="gray", vmin=-1, vmax=1)
                 axes[r, c].set_title(f"{name}={v:.1f}", fontsize=8)
                 axes[r, c].axis("off")
-        fig.suptitle("attribute sweeps (headless GUI rendering)")
+        for c, v in enumerate(np.linspace(0.0, 1.0, 5)):
+            axes[3, c].imshow(mix_image(float(v)), cmap="gray", vmin=-1, vmax=1)
+            axes[3, c].set_title(
+                f"digit {orig_dig}->{args.target} mix={v:.2f}", fontsize=8)
+            axes[3, c].axis("off")
+        fig.suptitle("attribute sweeps + digit mix (headless GUI rendering)")
         fig.tight_layout()
         fig.savefig(args.output)
         print(f"saved {args.output}")
@@ -92,14 +130,20 @@ if __name__ == "__main__":
         ax.axis("off")
         sliders = {}
         for j, (name, (lo, hi, v0)) in enumerate(ranges.items()):
-            sax = plt.axes([0.15, 0.22 - 0.07 * j, 0.7, 0.04])
+            sax = plt.axes([0.15, 0.29 - 0.07 * j, 0.7, 0.04])
             sliders[name] = Slider(sax, name, lo, hi, valinit=v0)
+        sax = plt.axes([0.15, 0.29 - 0.07 * 3, 0.7, 0.04])
+        sliders["mix"] = Slider(
+            sax, f"digit {orig_dig}->{args.target}", 0.0, 1.0, valinit=0.0)
 
         def update(_):
-            im.set_data(
-                cf_image(sliders["thickness"].val, sliders["intensity"].val,
-                         sliders["slant"].val)
-            )
+            if sliders["mix"].val > 0:
+                im.set_data(mix_image(sliders["mix"].val))
+            else:
+                im.set_data(
+                    cf_image(sliders["thickness"].val, sliders["intensity"].val,
+                             sliders["slant"].val)
+                )
             fig.canvas.draw_idle()
 
         for s in sliders.values():

@@ -16,6 +16,11 @@ parser.add_argument("--oracle-dir", type=str, default="")
 parser.add_argument("--bigan", type=str, default="mnist-bigan.tar")
 parser.add_argument("--limit", type=int, default=64)
 parser.add_argument("--steps", type=int, default=30)
+parser.add_argument("--lr", type=float, default=0.01)
+parser.add_argument("--weight", type=float, default=10.0,
+                    help="hinge-loss weight (explainer c)")
+parser.add_argument("--train-codes", action="store_true",
+                    help="also optimize the latent code (reference default: off)")
 parser.add_argument("--output", type=str, default="mnist_oracle_scores.csv")
 parser.add_argument("--seed", type=int, default=0)
 
@@ -77,6 +82,7 @@ if __name__ == "__main__":
     explainers = {
         "bigan": HingeLossCFExplainer(
             E_fn, G_fn, clf_fn, target_feature="digit", latent_dim=512,
+            c=args.weight,
             categorical_features=("digit",), features_to_ignore=("slant", "intensity"),
         ),
         "bigan_agnostic": DeepCounterfactualExplainer(E_fn, G_fn, clf_fn, "digit"),
@@ -94,6 +100,7 @@ if __name__ == "__main__":
         for name, ex in explainers.items():
             if isinstance(ex, HingeLossCFExplainer):
                 cf = ex.explain(xb, ab, target_class=target, steps=args.steps,
+                                lr=args.lr, train_z=args.train_codes,
                                 rng=jax.random.PRNGKey(args.seed + i))
             else:
                 samples, _ = ex.explain(xb, ab, target_class=target, sample_points=50)

@@ -14,6 +14,15 @@ import os
 parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--image-model-file", type=str, default=None,
+                    help="VAE checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--attr-model-file", type=str, default=None,
+                    help="attribute-SCM checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--latent-dim", type=int, default=None,
+                    help="accepted for reference CLI compatibility; the VAE "
+                         "latent dim is fixed by the architecture/checkpoint "
+                         "(the reference's own flag crashes its script: "
+                         "MorphoMNISTVAE takes no latent_dim)")
 parser.add_argument("--attr", type=str, default="thickness")
 parser.add_argument("--delta", type=float, default=2.0)
 parser.add_argument("--limit", type=int, default=64)
@@ -75,20 +84,20 @@ if __name__ == "__main__":
         from imagecfgen_tpu.models.bigan import BiGAN, mnist_bigan_config
 
         tree, scaler, _ = load_bigan(bigan_path)
-        scm = load_attribute_scm(os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
+        scm = load_attribute_scm(args.attr_model_file or os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
         engine = CounterfactualEngine(
             BiGAN(mnist_bigan_config()), tree["params_E"], tree["params_G"], scm, scaler
         )
         x_cf, _ = engine.counterfactual(jax.random.PRNGKey(args.seed), xb, ab, iv)
         results["bigan"] = float(np.abs(images_to_255(np.asarray(x_cf)) - gt_cf).mean())
 
-    vae_path = os.path.join(args.model_dir, "mnist-vae.tar")
+    vae_path = args.image_model_file or os.path.join(args.model_dir, "mnist-vae.tar")
     if os.path.exists(vae_path):
         from imagecfgen_tpu.models.vae import ConditionalVAE, mnist_vae_config
 
         vtree, _ = load_checkpoint(vae_path)
         scaler = AttributeScaler.from_state_dict(MNIST_SPEC, vtree["scaler"])
-        scm = load_attribute_scm(os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
+        scm = load_attribute_scm(args.attr_model_file or os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
         model = ConditionalVAE(mnist_vae_config())
         obs = {
             "thickness": ab["thickness"].reshape((-1, 1)),

@@ -5,7 +5,16 @@ import os
 
 parser = ArgumentParser()
 parser.add_argument("--model-dir", type=str, default="")
-parser.add_argument("--n", type=int, default=4096)
+parser.add_argument("--image-model", "-m", type=str, default=None,
+                    help="VAE checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--attribute-model", "-a", type=str, default=None,
+                    help="attribute-SCM checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--classifier", "-c", type=str, default=None,
+                    help="classifier checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--data-dir", type=str, default=None,
+                    help="accepted for reference compatibility (generation "
+                         "draws attributes from the SCM, not a dataset)")
+parser.add_argument("--n", "-n", "--num-samples", type=int, default=4096)
 parser.add_argument("--seed", type=int, default=0)
 
 if __name__ == "__main__":
@@ -21,10 +30,10 @@ if __name__ == "__main__":
     from imagecfgen_tpu.models.classifier import CNNClassifier, mnist_classifier_config
     from imagecfgen_tpu.models.vae import ConditionalVAE, mnist_vae_config
 
-    vae_tree, _ = load_checkpoint(os.path.join(args.model_dir, "mnist-vae.tar"))
+    vae_tree, _ = load_checkpoint(args.image_model or os.path.join(args.model_dir, "mnist-vae.tar"))
     scaler = AttributeScaler.from_state_dict(MNIST_SPEC, vae_tree["scaler"])
-    scm = load_attribute_scm(os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
-    clf_tree, _ = load_checkpoint(os.path.join(args.model_dir, "mnist_clf.tar"))
+    scm = load_attribute_scm(args.attribute_model or os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
+    clf_tree, _ = load_checkpoint(args.classifier or os.path.join(args.model_dir, "mnist_clf.tar"))
     clf = CNNClassifier(mnist_classifier_config())
     clf_fn = jax.jit(lambda im: clf.apply({"params": clf_tree["params"]}, im))
 

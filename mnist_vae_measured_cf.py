@@ -7,6 +7,18 @@ import os
 parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--image-model-file", type=str, default=None,
+                    help="VAE checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--attr-model-file", type=str, default=None,
+                    help="attribute-SCM checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--cf-attribute", type=str, default=None,
+                    choices=["thickness", "intensity", "slant"],
+                    help="restrict to one intervened attribute (default: all three)")
+parser.add_argument("--latent-dim", type=int, default=None,
+                    help="accepted for reference CLI compatibility; the VAE "
+                         "latent dim is fixed by the architecture/checkpoint "
+                         "(the reference's own flag crashes its script: "
+                         "MorphoMNISTVAE takes no latent_dim)")
 parser.add_argument("--limit", type=int, default=256)
 parser.add_argument("--workers", type=int, default=max(os.cpu_count() - 1, 1))
 parser.add_argument("--output", type=str, default="mnist-vae-measured-cf.png")
@@ -37,9 +49,9 @@ if __name__ == "__main__":
     xb = jnp.asarray(x[:n])
     ab = {k: jnp.asarray(np.asarray(v)[:n]) for k, v in attrs.items()}
 
-    vtree, _ = load_checkpoint(os.path.join(args.model_dir, "mnist-vae.tar"))
+    vtree, _ = load_checkpoint(args.image_model_file or os.path.join(args.model_dir, "mnist-vae.tar"))
     scaler = AttributeScaler.from_state_dict(MNIST_SPEC, vtree["scaler"])
-    scm = load_attribute_scm(os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
+    scm = load_attribute_scm(args.attr_model_file or os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
     model = ConditionalVAE(mnist_vae_config())
 
     @jax.jit
@@ -65,9 +77,14 @@ if __name__ == "__main__":
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axs = plt.subplots(1, 3, figsize=(13, 4))
+    attrs_to_do = (
+        (args.cf_attribute,) if args.cf_attribute
+        else ("thickness", "intensity", "slant")
+    )
+    fig, axs = plt.subplots(1, len(attrs_to_do), figsize=(13, 4), squeeze=False)
+    axs = axs[0]
     errors = {}
-    for i, attribute in enumerate(("thickness", "intensity", "slant")):
+    for i, attribute in enumerate(attrs_to_do):
         if attribute == "thickness":
             target = gt.sample_thickness(n)
         elif attribute == "intensity":

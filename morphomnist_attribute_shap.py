@@ -16,7 +16,7 @@ parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--bigan", type=str, default="mnist-bigan.tar")
-parser.add_argument("--limit", type=int, default=32)
+parser.add_argument("--limit", "--samples", type=int, default=32)
 parser.add_argument("--n-background", type=int, default=64)
 parser.add_argument("--n-mc", type=int, default=8, help="z samples per eval")
 parser.add_argument("--n-steps", type=int, default=16, help="interpolation samples")

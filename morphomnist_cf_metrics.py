@@ -17,6 +17,8 @@ parser.add_argument("--bigan", type=str, default="mnist-bigan.tar")
 parser.add_argument("--limit", type=int, default=64)
 parser.add_argument("--steps", type=int, default=30)
 parser.add_argument("--lr", type=float, default=0.1)
+parser.add_argument("--weight", type=float, default=10.0,
+                    help="hinge-loss weight (explainer c)")
 parser.add_argument("--train-codes", action="store_true")
 parser.add_argument("--ae-dir", type=str, default="", help="dir with ae-{c}.tar / ae-all.tar")
 parser.add_argument("--output", type=str, default="morphomnist_cf_metrics.csv")
@@ -63,6 +65,7 @@ if __name__ == "__main__":
         "bigan": HingeLossCFExplainer(
             E_fn, G_fn, clf_fn, target_feature="digit", latent_dim=512,
             categorical_features=("digit",), features_to_ignore=("slant", "intensity"),
+            c=args.weight,
         ),
         "bigan_agnostic": DeepCounterfactualExplainer(E_fn, G_fn, clf_fn, "digit"),
     }
@@ -81,6 +84,7 @@ if __name__ == "__main__":
         explainers["vae"] = HingeLossCFExplainer(
             vE, vG, clf_fn, target_feature="digit", latent_dim=512,
             categorical_features=("digit",), features_to_ignore=("slant", "intensity"),
+            c=args.weight,
         )
         explainers["vae_agnostic"] = DeepCounterfactualExplainer(vE, vG, clf_fn, "digit")
 

@@ -5,6 +5,9 @@ import pickle
 
 parser = ArgumentParser()
 parser.add_argument("--matrix", type=str, default="mnist-cf-matrix.pkl")
+parser.add_argument("--metric", type=str, default=None,
+                    help="metric the matrix was built with (sanity check; "
+                         "the pkl stores one matrix per build)")
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -13,6 +16,13 @@ if __name__ == "__main__":
     with open(args.matrix, "rb") as f:
         data = pickle.load(f)
     matrix = data["matrix"] if isinstance(data, dict) else data
+    if args.metric and isinstance(data, dict):
+        built = data.get("metric", "mixture")
+        if built != args.metric:
+            raise SystemExit(
+                f"{args.matrix} was built with metric={built!r}; rebuild with "
+                f"make_mnist_cf_matrix.py --metric {args.metric}"
+            )
 
     header = "src\\tgt " + " ".join(f"{t:>6d}" for t in range(10))
     print(header)

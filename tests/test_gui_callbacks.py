@@ -74,7 +74,7 @@ def test_mix_gui_slider_callback_updates_image(gui_dirs, monkeypatch):
                        run_name="__main__")
 
     sliders, im, cf_image = g["sliders"], g["im"], g["cf_image"]
-    assert set(sliders) == {"thickness", "intensity", "slant"}
+    assert set(sliders) == {"thickness", "intensity", "slant", "mix"}
     before = np.array(im.get_array(), copy=True)
 
     # a real drag: set_val fires on_changed -> update -> engine CF -> set_data
@@ -94,3 +94,11 @@ def test_mix_gui_slider_callback_updates_image(gui_dirs, monkeypatch):
     assert not np.allclose(after, after2)
     assert np.allclose(
         after2, cf_image(t_hi, sliders["intensity"].val, s_lo), atol=1e-6)
+
+    # the digit-mix slider (reference mnist_mix_vae_gui.py semantics) takes
+    # over rendering when nonzero and must track mix_image
+    mix_image = g["mix_image"]
+    sliders["mix"].set_val(0.75)
+    after3 = np.array(im.get_array(), copy=True)
+    assert not np.allclose(after2, after3)
+    assert np.allclose(after3, mix_image(0.75), atol=1e-6)

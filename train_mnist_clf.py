@@ -11,6 +11,9 @@ parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--epochs", type=int, default=100)
 parser.add_argument("--batch-size", type=int, default=128)
 parser.add_argument("--output-path", type=str, default="")
+parser.add_argument("--output-name", type=str, default="mnist_clf.tar",
+                    help="e.g. mnist_clf_raw.tar when training on plain MNIST "
+                         "(consumed by --clf-type raw in the eval scripts)")
 parser.add_argument("--seed", type=int, default=0)
 
 if __name__ == "__main__":
@@ -50,7 +53,7 @@ if __name__ == "__main__":
             msg += f" val_acc={trainer.accuracy(state, x_test, y_test):.4f}"
         print(msg)
 
-    out = os.path.join(args.output_path or ".", "mnist_clf.tar")
+    out = os.path.join(args.output_path or ".", args.output_name)
     os.makedirs(args.output_path or ".", exist_ok=True)
     save_checkpoint(out, {"params": jax.device_get(state.params)}, meta={"kind": "mnist-clf"})
     print(f"saved {out}")

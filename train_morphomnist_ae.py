@@ -10,8 +10,11 @@ import os
 parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--cls", type=int, default=-1, help="-1 = all classes")
-parser.add_argument("--epochs", type=int, default=50)
+parser.add_argument("--epochs", "--steps", type=int, default=50)
 parser.add_argument("--batch-size", type=int, default=128)
+parser.add_argument("--latent-dim", type=int, default=100,
+                    help="AE bottleneck size (reference default 100)")
+parser.add_argument("--learning-rate", type=float, default=1e-4)
 parser.add_argument("--output-path", type=str, default="")
 parser.add_argument("--seed", type=int, default=0)
 
@@ -35,9 +38,10 @@ if __name__ == "__main__":
         mask = attrs["digit"].argmax(axis=1) == args.cls
         x = x[mask]
 
-    ae = ConvAutoEncoder(AutoEncoderConfig())
+    ae = ConvAutoEncoder(AutoEncoderConfig(latent_dim=args.latent_dim))
     trainer = SupervisedTrainer(
-        ae, SupervisedTrainConfig(batch_size=args.batch_size, loss="mse")
+        ae, SupervisedTrainConfig(batch_size=args.batch_size, loss="mse",
+                              learning_rate=args.learning_rate)
     )
     state = trainer.init_state(jax.random.PRNGKey(args.seed), jnp.zeros((2, 28, 28, 1)))
     data = trainer.upload_dataset(x, x)

@@ -7,6 +7,11 @@ import os
 parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
+parser.add_argument("--clf-type", type=str, default="morpho",
+                    choices=["morpho", "raw"],
+                    help="morpho: mnist_clf.tar (Morpho-MNIST-trained); raw: "
+                         "mnist_clf_raw.tar (plain-MNIST-trained, reference "
+                         "uncertainty_evolution.py:25-27)")
 parser.add_argument("--image-index", type=int, default=0)
 parser.add_argument("--target-class", type=int, default=3)
 parser.add_argument("--n-points", type=int, default=50)
@@ -34,7 +39,10 @@ if __name__ == "__main__":
     a_scaled = scale_attrs_np(scaler, attrs)
 
     tree, _, _ = load_bigan(os.path.join(args.model_dir, "mnist-bigan.tar"))
-    clf_tree, _ = load_checkpoint(os.path.join(args.model_dir, "mnist_clf.tar"))
+    clf_tree, _ = load_checkpoint(os.path.join(
+        args.model_dir,
+        "mnist_clf.tar" if args.clf_type == "morpho" else "mnist_clf_raw.tar",
+    ))
     model = BiGAN(mnist_bigan_config())
     clf = CNNClassifier(mnist_classifier_config())
 
