@@ -4,7 +4,8 @@ from argparse import ArgumentParser
 import os
 
 parser = ArgumentParser()
-parser.add_argument("--zip-path", "-d", "--data", type=str, default=None)
+parser.add_argument("--zip-path", "-d", "--data", type=str,
+                    default="AudioMNIST-data.zip")
 parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--bigan", type=str, default="audio-mnist-bigan.tar")
 parser.add_argument("--n-show", type=int, default=4)

@@ -10,10 +10,11 @@ import os
 
 parser = ArgumentParser()
 parser.add_argument("--model-dir", type=str, default="")
-parser.add_argument("--zip-path", "-d", "--data", type=str, default=None)
-parser.add_argument("--num-samples", "-n", type=int, default=8)
+parser.add_argument("--zip-path", "-d", "--data", type=str,
+                    default="AudioMNIST-data.zip")
+parser.add_argument("--num-samples", "-n", type=int, default=10)
 parser.add_argument("--mc-rounds", "-r", type=int, default=1)
-parser.add_argument("--outdir", "-o", type=str, default="audio-samples")
+parser.add_argument("--outdir", "-o", type=str, default=".")
 parser.add_argument("--image-model", "-m", type=str, default=None,
                     help="BiGAN checkpoint file (overrides --model-dir layout)")
 parser.add_argument("--attribute-model", "-a", type=str, default=None,

@@ -12,13 +12,14 @@ parser.add_argument("--attribute-model", "-a", type=str, default=None,
 parser.add_argument("--digit-clf", type=str, default=None)
 parser.add_argument("--gender-clf", type=str, default=None)
 parser.add_argument("--accent-clf", type=str, default=None)
-parser.add_argument("--zip-path", "-d", "--data", type=str, default=None,
+parser.add_argument("--zip-path", "-d", "--data", type=str,
+                    default="AudioMNIST-data.zip",
                     help="accepted for reference compatibility (generation "
                          "needs no dataset)")
-parser.add_argument("--mc-rounds", "-r", type=int, default=1,
+parser.add_argument("--mc-rounds", "-r", type=int, default=4,
                     help="scoring passes with fresh z draws, averaged")
 parser.add_argument("--attribute", type=str, default="digit")
-parser.add_argument("--n", "-n", "--num-samples", type=int, default=1024)
+parser.add_argument("--n", "-n", "--num-samples", type=int, default=10_000)
 parser.add_argument("--batch-size", type=int, default=256)
 parser.add_argument("--seed", type=int, default=0)
 

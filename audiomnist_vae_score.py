@@ -4,7 +4,8 @@ from argparse import ArgumentParser
 import os
 
 parser = ArgumentParser()
-parser.add_argument("--zip-path", "-d", "--data", type=str, default=None)
+parser.add_argument("--zip-path", "-d", "--data", type=str,
+                    default="AudioMNIST-data.zip")
 parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--attribute", "--cf-attr", type=str, default="digit")
 parser.add_argument("--image-model", "-m", type=str, default=None,
@@ -14,7 +15,7 @@ parser.add_argument("--attribute-model", "-a", type=str, default=None,
 parser.add_argument("--digit-clf", type=str, default=None)
 parser.add_argument("--gender-clf", type=str, default=None)
 parser.add_argument("--accent-clf", type=str, default=None)
-parser.add_argument("--mc-rounds", "-r", type=int, default=1,
+parser.add_argument("--mc-rounds", "-r", type=int, default=4,
                     help="CF target resamples per batch, scores averaged")
 parser.add_argument("--batch-size", type=int, default=128)
 parser.add_argument("--seed", type=int, default=0)

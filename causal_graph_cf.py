@@ -21,7 +21,7 @@ parser.add_argument("cf_attribute", type=str, nargs="?", default=None,
                     help="positional attribute name (reference CLI); overrides --attr")
 parser.add_argument("--attr", type=str, default="thickness")
 parser.add_argument("--n-images", type=int, default=4)
-parser.add_argument("--n-points", "-n", "--num-samples", type=int, default=25)
+parser.add_argument("--n-points", "-n", "--num-samples", type=int, default=10)
 parser.add_argument("--output", type=str, default="causal-graph-cf.png")
 parser.add_argument("--seed", type=int, default=0)
 

@@ -9,13 +9,13 @@ parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--model", type=str, default="vae", choices=["vae", "bigan"])
-parser.add_argument("--original-digit", "--original", type=int, default=None)
-parser.add_argument("--target-digit", "--target", type=int, default=3)
+parser.add_argument("--original-digit", "--original", type=int, default=3)
+parser.add_argument("--target-digit", "--target", type=int, default=8)
 parser.add_argument("--sample-points", type=int, default=200)
-parser.add_argument("--metric", type=str, default="mixture",
+parser.add_argument("--metric", type=str, default="ssim",
                     choices=["mixture", "mse", "ssim"])
 parser.add_argument("--output", type=str, default="cf-automatic-mix.png")
-parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--seed", type=int, default=42)
 
 if __name__ == "__main__":
     args = parser.parse_args()

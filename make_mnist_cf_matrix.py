@@ -18,7 +18,7 @@ parser.add_argument("--sample-points", type=int, default=50)
 parser.add_argument("--output", type=str, default="mnist-cf-matrix.pkl")
 parser.add_argument("--metric", type=str, default="mixture",
                     choices=["mixture", "mse", "ssim"])
-parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--seed", type=int, default=42)
 
 if __name__ == "__main__":
     args = parser.parse_args()

@@ -16,7 +16,7 @@ parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--image-model", type=str, default="mnist-bigan.tar")
 parser.add_argument("--attribute-model", type=str, default=None,
                     help="attribute-SCM checkpoint file (overrides --model-dir layout)")
-parser.add_argument("--model-name", type=str, default="BiGAN",
+parser.add_argument("--model-name", type=str, default="ImageCFGen",
                     help="label used in the figure title")
 parser.add_argument("--limit", type=int, default=256)
 parser.add_argument("--workers", type=int, default=max(os.cpu_count() - 1, 1))

@@ -21,7 +21,7 @@ parser.add_argument("--target", type=int, default=8,
                     help="digit whose one-hot the mix slider morphs toward")
 parser.add_argument("--headless", action="store_true")
 parser.add_argument("--output", type=str, default="mnist-mix-gui.png")
-parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--seed", type=int, default=42)
 
 if __name__ == "__main__":
     args = parser.parse_args()

@@ -15,14 +15,14 @@ parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--oracle-dir", type=str, default="")
 parser.add_argument("--bigan", type=str, default="mnist-bigan.tar")
 parser.add_argument("--limit", type=int, default=64)
-parser.add_argument("--steps", type=int, default=30)
+parser.add_argument("--steps", type=int, default=100)
 parser.add_argument("--lr", type=float, default=0.01)
 parser.add_argument("--weight", type=float, default=10.0,
                     help="hinge-loss weight (explainer c)")
 parser.add_argument("--train-codes", action="store_true",
                     help="also optimize the latent code (reference default: off)")
 parser.add_argument("--output", type=str, default="mnist_oracle_scores.csv")
-parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--seed", type=int, default=42)
 
 if __name__ == "__main__":
     args = parser.parse_args()

@@ -14,7 +14,7 @@ parser.add_argument("--classifier", "-c", type=str, default=None,
 parser.add_argument("--data-dir", type=str, default=None,
                     help="accepted for reference compatibility (generation "
                          "draws attributes from the SCM, not a dataset)")
-parser.add_argument("--n", "-n", "--num-samples", type=int, default=4096)
+parser.add_argument("--n", "-n", "--num-samples", type=int, default=10_000)
 parser.add_argument("--seed", type=int, default=0)
 
 if __name__ == "__main__":

@@ -13,14 +13,14 @@ from argparse import ArgumentParser
 import os
 
 parser = ArgumentParser()
-parser.add_argument("--data-dir", type=str, default="")
+parser.add_argument("--data-dir", type=str, default="mnist-data")
 parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--bigan", type=str, default="mnist-bigan.tar")
-parser.add_argument("--limit", "--samples", type=int, default=32)
+parser.add_argument("--limit", "--samples", type=int, default=4)
 parser.add_argument("--n-background", type=int, default=64)
 parser.add_argument("--n-mc", type=int, default=8, help="z samples per eval")
 parser.add_argument("--n-steps", type=int, default=16, help="interpolation samples")
-parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--seed", type=int, default=42)
 
 if __name__ == "__main__":
     args = parser.parse_args()

@@ -48,9 +48,9 @@ $STAGE "$D/vae_stage.log" -- \
 tail -3 "$D/vae_stage.log"
 
 echo "=== BiGAN CF score (digit) ==="
-python audiomnist_bigan_score.py "${ZIPFLAG[@]}" --model-dir "$D"
+python audiomnist_bigan_score.py "${ZIPFLAG[@]}" --model-dir "$D" --mc-rounds 1
 echo "=== VAE CF score (digit) ==="
-python audiomnist_vae_score.py "${ZIPFLAG[@]}" --model-dir "$D"
+python audiomnist_vae_score.py "${ZIPFLAG[@]}" --model-dir "$D" --mc-rounds 1
 echo "=== generator scores ==="
-python audiomnist_generator_score.py --model-dir "$D"
-python audiomnist_vae_generator_score.py --model-dir "$D"
+python audiomnist_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024
+python audiomnist_vae_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024

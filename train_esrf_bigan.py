@@ -9,7 +9,7 @@ import time
 parser = ArgumentParser()
 parser.add_argument("--wav-dir", "--data-dir", type=str, default=None)
 parser.add_argument("--label-csv", "--labels", type=str, default=None)
-parser.add_argument("--steps", "--epochs", type=int, default=200, help="epochs")
+parser.add_argument("--steps", "--epochs", type=int, default=500, help="epochs")
 parser.add_argument("--batch-size", type=int, default=16)
 parser.add_argument("--l-rate", type=float, default=1e-4)
 parser.add_argument("--output-path", type=str, default="")

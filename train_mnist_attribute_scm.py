@@ -9,7 +9,7 @@ import os
 
 parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
-parser.add_argument("--steps", type=int, default=2000)
+parser.add_argument("--steps", type=int, default=200)
 parser.add_argument("--output-path", type=str, default="")
 parser.add_argument("--batch-size", type=int, default=10_000)
 parser.add_argument("--seed", type=int, default=0)

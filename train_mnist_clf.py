@@ -8,8 +8,8 @@ import os
 
 parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
-parser.add_argument("--epochs", type=int, default=100)
-parser.add_argument("--batch-size", type=int, default=128)
+parser.add_argument("--epochs", type=int, default=10)
+parser.add_argument("--batch-size", type=int, default=512)
 parser.add_argument("--output-path", type=str, default="")
 parser.add_argument("--output-name", type=str, default="mnist_clf.tar",
                     help="e.g. mnist_clf_raw.tar when training on plain MNIST "

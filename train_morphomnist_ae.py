@@ -10,8 +10,8 @@ import os
 parser = ArgumentParser()
 parser.add_argument("--data-dir", type=str, default="")
 parser.add_argument("--cls", type=int, default=-1, help="-1 = all classes")
-parser.add_argument("--epochs", "--steps", type=int, default=50)
-parser.add_argument("--batch-size", type=int, default=128)
+parser.add_argument("--epochs", "--steps", type=int, default=200)
+parser.add_argument("--batch-size", type=int, default=64)
 parser.add_argument("--latent-dim", type=int, default=100,
                     help="AE bottleneck size (reference default 100)")
 parser.add_argument("--learning-rate", type=float, default=1e-4)

@@ -5,7 +5,7 @@ from argparse import ArgumentParser
 import os
 
 parser = ArgumentParser()
-parser.add_argument("--data-dir", type=str, default="")
+parser.add_argument("--data-dir", type=str, default="mnist-displayed-cfs")
 parser.add_argument("--model-dir", type=str, default="")
 parser.add_argument("--clf-type", type=str, default="morpho",
                     choices=["morpho", "raw"],
