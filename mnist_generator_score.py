@@ -13,6 +13,10 @@ parser.add_argument("--image-model", "-m", type=str, default=None,
                     help="BiGAN checkpoint file (overrides --model-dir layout)")
 parser.add_argument("--classifier", "-c", type=str, default=None,
                     help="classifier checkpoint file (overrides --model-dir layout)")
+parser.add_argument("--attribute-model", "-a", type=str, default=None,
+                    help="attribute-SCM checkpoint file (overrides --model-dir "
+                         "layout; the reference samples attributes from its "
+                         "pickled graph implicitly)")
 parser.add_argument("--data-dir", type=str, default=None,
                     help="score on this dir's mnist-a-test.npy attributes "
                          "(reference semantics) instead of SCM samples")
@@ -32,7 +36,7 @@ if __name__ == "__main__":
     from imagecfgen_tpu.models.classifier import CNNClassifier, mnist_classifier_config
 
     tree, scaler, _ = load_bigan(args.image_model or os.path.join(args.model_dir, "mnist-bigan.tar"))
-    scm = load_attribute_scm(os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
+    scm = load_attribute_scm(args.attribute_model or os.path.join(args.model_dir, "mnist-attribute-scm.tar"))
     clf_tree, _ = load_checkpoint(args.classifier or os.path.join(args.model_dir, "mnist_clf.tar"))
     clf = CNNClassifier(mnist_classifier_config())
     clf_fn = jax.jit(lambda im: clf.apply({"params": clf_tree["params"]}, im))
