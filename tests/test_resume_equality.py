@@ -101,3 +101,26 @@ def test_mnist_bigan_resume_matches_straight_run(tmp_path):
     run(split, 2, False)
     run(split, 4, True)
     _assert_equal(straight / "mnist-bigan.tar", split / "mnist-bigan.tar")
+
+
+@pytest.mark.slow
+def test_esrf_bigan_resume_matches_straight_run(tmp_path):
+    """Same property for the 512-squared family (remat path included)."""
+    env = dict(os.environ, IMAGECFGEN_PLATFORM="cpu", XLA_FLAGS="")
+
+    def run(out_dir, steps, resume):
+        cmd = [sys.executable, "-u", os.path.join(REPO, "train_esrf_bigan.py"),
+               "--d", "2", "--batch-size", "4", "--max-batches", "2",
+               "--steps", str(steps), "--checkpoint-every", "2",
+               "--output-path", str(out_dir)]
+        if resume:
+            cmd.append("--resume")
+        subprocess.run(cmd, check=True, env=env, timeout=900,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    straight, split = tmp_path / "straight", tmp_path / "split"
+    straight.mkdir(), split.mkdir()
+    run(straight, 4, False)
+    run(split, 2, False)
+    run(split, 4, True)
+    _assert_equal(straight / "esrf-bigan.tar", split / "esrf-bigan.tar")

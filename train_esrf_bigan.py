@@ -22,6 +22,8 @@ parser.add_argument("--remat", action="store_true", default=True,
                     help="rematerialize forwards in backward (saves HBM on the large spectrogram stacks)")
 parser.add_argument("--no-remat", dest="remat", action="store_false")
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--resume", action="store_true",
+                    help="continue from an existing esrf-bigan.tar in --output-path")
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -73,12 +75,33 @@ if __name__ == "__main__":
         )
         print(f"warm-started from {args.start_model}")
 
+    out = os.path.join(args.output_path or ".", "esrf-bigan.tar")
+    start_epoch = 0
+    if args.resume and os.path.exists(out):
+        from imagecfgen_tpu.core.checkpoint import load_resume
+
+        template = {
+            "params_E": state.params_E, "params_G": state.params_G,
+            "vars_D": state.vars_D, "opt_eg": state.opt_eg,
+            "opt_d": state.opt_d, "step": state.step,
+            "spect_mean": np.asarray(stats.mean),
+            "spect_std": np.asarray(stats.std),
+        }
+        tree, meta = load_resume(out, template, rng_template=state.rng)
+        state = state.replace(
+            params_E=tree["params_E"], params_G=tree["params_G"],
+            vars_D=tree["vars_D"], opt_eg=tree["opt_eg"], opt_d=tree["opt_d"],
+            step=tree["step"],
+            **({"rng": tree["rng"]} if "rng" in tree else {}),
+        )
+        start_epoch = int(meta.get("epoch", 0))
+        print(f"resumed from {out} at epoch {start_epoch}")
+
     device_data = trainer.upload_dataset(x, attrs)
     key = jax.random.PRNGKey(args.seed + 1)
-    out = os.path.join(args.output_path or ".", "esrf-bigan.tar")
     os.makedirs(args.output_path or ".", exist_ok=True)
     nb = max(len(x) // args.batch_size, 1)
-    for epoch in range(args.steps):
+    for epoch in range(start_epoch, args.steps):
         t0 = time.time()
         state, metrics = trainer.fit_epoch(state, device_data, jax.random.fold_in(key, epoch))
         profiling.sync(metrics)
@@ -95,10 +118,12 @@ if __name__ == "__main__":
                     "params_E": st.params_E, "params_G": st.params_G,
                     "vars_D": st.vars_D, "opt_eg": st.opt_eg, "opt_d": st.opt_d,
                     "step": st.step,
+                    "rng": st.rng,
                     "spect_mean": np.asarray(stats.mean),
                     "spect_std": np.asarray(stats.std),
                 },
-                meta={"kind": "bigan-esrf", "epoch": epoch + 1},
+                meta={"kind": "bigan-esrf", "epoch": epoch + 1,
+                      "carries_rng": True},
             )
     print(f"saved {out}")
 
