@@ -22,6 +22,15 @@ parser.add_argument("--remat", action="store_true", default=True,
                     help="rematerialize forwards in backward (saves HBM on the large spectrogram stacks)")
 parser.add_argument("--no-remat", dest="remat", action="store_false")
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--init-std", type=float, default=None,
+                    help="override the conv init std (reference: 0.001, "
+                         "esrf_acoustic.py:24-27, which spends ~20k steps "
+                         "with all D logits ~0 before learning starts; "
+                         "0.01 escapes within one epoch — documented deviation)")
+parser.add_argument("--synthetic-recordings", type=int, default=24,
+                    help="recording count for the synthetic stand-in "
+                         "(used when --wav-dir is absent); each boat-positive "
+                         "recording yields 10 windows, negatives yield 1")
 parser.add_argument("--resume", action="store_true",
                     help="continue from an existing esrf-bigan.tar in --output-path")
 
@@ -43,7 +52,7 @@ if __name__ == "__main__":
     else:
         if args.wav_dir:
             print(f"warning: {args.wav_dir} not found; using the synthetic ESRF stand-in")
-        data = EsrfStation()
+        data = EsrfStation(synthetic_recordings=args.synthetic_recordings)
 
     spects, boats, dists = [], [], []
     for i, batch in enumerate(data.stream(batch_size=32, mode="train")):
@@ -61,7 +70,12 @@ if __name__ == "__main__":
     }
     print(f"training on {len(x)} 512x512 windows")
 
-    model = BiGAN(esrf_bigan_config(d=args.d))
+    cfg = esrf_bigan_config(d=args.d)
+    if args.init_std is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, init_std=args.init_std)
+    model = BiGAN(cfg)
     trainer = GANTrainer(
         model,
         GANTrainConfig(learning_rate=args.l_rate, betas=(0.5, 0.9),
@@ -122,7 +136,7 @@ if __name__ == "__main__":
                     "spect_mean": np.asarray(stats.mean),
                     "spect_std": np.asarray(stats.std),
                 },
-                meta={"kind": "bigan-esrf", "epoch": epoch + 1,
+                meta={"kind": "bigan-esrf", "epoch": epoch + 1, "d": args.d,
                       "carries_rng": True},
             )
     print(f"saved {out}")
