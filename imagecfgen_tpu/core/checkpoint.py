@@ -27,9 +27,59 @@ _MAGIC = b"ICFT"  # imagecfgen-tpu checkpoint
 _VERSION = 1
 
 
+def fetch_tree(tree: Any, chunk_bytes: int = 32 << 20,
+               progress_bytes: int = 128 << 20) -> Any:
+    """Device->host fetch of a pytree in bounded-size chunks.
+
+    A single monolithic ``jax.device_get`` of a multi-GB train state over
+    the axon tunnel can stall indefinitely with zero observable IO in the
+    client process (the whale battery's epoch-250 checkpoint froze for
+    7+ minutes until the stage watchdog killed it), while the small
+    per-step transfers training does constantly are fine. So: fetch leaf
+    by leaf, slicing any leaf larger than ``chunk_bytes`` along its
+    leading axis, and print progress every ``progress_bytes`` so a log-
+    watching stall detector (tools/tpu_stage.sh) sees a live process.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    total = sum(l.nbytes for l in leaves if isinstance(l, jax.Array))
+    verbose = total >= progress_bytes
+    if verbose:
+        print(f"[checkpoint] fetching {total / 2**20:.0f} MB from device",
+              flush=True)
+    fetched, last_mark = 0, 0
+    out = []
+    for leaf in leaves:
+        if not isinstance(leaf, jax.Array):
+            out.append(leaf)
+            continue
+        if leaf.ndim == 0 or leaf.nbytes <= chunk_bytes:
+            out.append(jax.device_get(leaf))
+        else:
+            row_bytes = max(leaf.nbytes // max(leaf.shape[0], 1), 1)
+            rows = max(int(chunk_bytes // row_bytes), 1)
+            parts = []
+            for i in range(0, leaf.shape[0], rows):
+                parts.append(jax.device_get(leaf[i : i + rows]))
+                fetched_part = sum(p.nbytes for p in parts)
+                if verbose and fetched + fetched_part - last_mark >= progress_bytes:
+                    last_mark = fetched + fetched_part
+                    print(f"[checkpoint] fetched {last_mark / 2**20:.0f}"
+                          f"/{total / 2**20:.0f} MB", flush=True)
+            out.append(np.concatenate(parts, axis=0))
+        fetched += leaf.nbytes
+        if verbose and fetched - last_mark >= progress_bytes:
+            last_mark = fetched
+            print(f"[checkpoint] fetched {fetched / 2**20:.0f}"
+                  f"/{total / 2**20:.0f} MB", flush=True)
+    if verbose:
+        print(f"[checkpoint] fetch complete ({total / 2**20:.0f} MB)",
+              flush=True)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def save_checkpoint(path: str, tree: Any, meta: Optional[Dict] = None) -> None:
     """Atomically write ``tree`` (any pytree of arrays/scalars) + meta."""
-    tree = jax.device_get(tree)
+    tree = fetch_tree(tree)
     payload = serialization.to_bytes(tree)
     meta_bytes = json.dumps(meta or {}).encode("utf-8")
     tmp = path + ".tmp"

@@ -72,3 +72,28 @@ def test_load_resume_rng_flag_paths(tmp_path):
     save_checkpoint(p4, {"params": params, "opt": opt}, meta={})
     tree, _ = load_resume(p4, template, rng_template=rng)
     assert "rng" not in tree
+
+
+def test_fetch_tree_matches_device_get():
+    """Chunked device->host fetch (used by save_checkpoint to avoid the
+    monolithic-transfer tunnel stall) is value- and dtype-identical to a
+    plain jax.device_get, across small leaves, chunk-spanning leaves,
+    rows wider than the chunk size, scalars, and non-array leaves."""
+    from imagecfgen_tpu.core.checkpoint import fetch_tree
+
+    key = jax.random.PRNGKey(0)
+    tree = {
+        "small": jnp.arange(7, dtype=jnp.float32),
+        "big": jax.random.normal(key, (64, 33)),        # many chunks at 256 B
+        "wide_row": jax.random.normal(key, (3, 200)),   # one row > chunk
+        "scalar": jnp.float32(3.5),
+        "bf16": jax.random.normal(key, (16, 9)).astype(jnp.bfloat16),
+        "host": np.ones((2, 2)),
+        "plain": 5,
+    }
+    got = fetch_tree(tree, chunk_bytes=256, progress_bytes=1 << 40)
+    want = jax.device_get(tree)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+        if hasattr(want[k], "dtype"):
+            assert np.asarray(got[k]).dtype == np.asarray(want[k]).dtype, k

@@ -87,7 +87,7 @@ if __name__ == "__main__":
             f"({nb / (time.time() - t0):.1f} steps/s)"
         )
         if (epoch + 1) % args.checkpoint_every == 0 or (epoch + 1) == args.steps:
-            st = jax.device_get(state)
+            st = state  # save_checkpoint fetches device arrays in chunks
             save_checkpoint(
                 out,
                 {

@@ -119,7 +119,9 @@ if __name__ == "__main__":
             f"({nb / (time.time() - t0):.1f} steps/s)"
         )
         if (epoch + 1) % args.checkpoint_every == 0 or (epoch + 1) == args.steps:
-            save_audio_bigan(out, jax.device_get(state), stats, data,
+            # no monolithic device_get here: save_checkpoint fetches the
+            # multi-GB state in chunks with progress lines (tunnel gotcha)
+            save_audio_bigan(out, state, stats, data,
                              meta={"epoch": epoch + 1, "d": args.d})
     print(f"saved {out}")
 

@@ -103,10 +103,10 @@ if __name__ == "__main__":
             save_checkpoint(
                 out,
                 {
-                    "params": jax.device_get(state.params),
-                    "opt": jax.device_get(state.opt),
-                    "step": jax.device_get(state.step),
-                    "rng": jax.device_get(state.rng),
+                    "params": state.params,
+                    "opt": state.opt,
+                    "step": state.step,
+                    "rng": state.rng,
                     "spect_mean": np.asarray(stats.mean),
                     "spect_std": np.asarray(stats.std),
                 },

@@ -130,7 +130,7 @@ if __name__ == "__main__":
             )
 
         if (epoch + 1) % args.checkpoint_every == 0 or (epoch + 1) == args.steps:
-            save_bigan(ckpt_path, jax.device_get(state), scaler, meta={"epoch": epoch + 1})
+            save_bigan(ckpt_path, state, scaler, meta={"epoch": epoch + 1})
 
     print(f"saved {ckpt_path}")
 

@@ -86,7 +86,7 @@ if __name__ == "__main__":
         if (epoch + 1) % args.checkpoint_every == 0 or (epoch + 1) == args.steps:
             save_checkpoint(
                 out,
-                {"params": jax.device_get(state.params), "scaler": scaler.state_dict()},
+                {"params": state.params, "scaler": scaler.state_dict()},
                 meta={"kind": "vae-mnist", "epoch": epoch + 1},
             )
     print(f"saved {out}")

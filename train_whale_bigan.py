@@ -129,7 +129,9 @@ if __name__ == "__main__":
             f"({nb / (time.time() - t0):.1f} steps/s)"
         )
         if (epoch + 1) % args.checkpoint_every == 0 or (epoch + 1) == args.steps:
-            save_whale_bigan(out, jax.device_get(state), stats,
+            # no monolithic device_get here: save_checkpoint fetches the
+            # multi-GB state in chunks with progress lines (tunnel gotcha)
+            save_whale_bigan(out, state, stats,
                              meta={"epoch": epoch + 1, "d": args.d})
     print(f"saved {out}")
 
