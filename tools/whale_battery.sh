@@ -46,8 +46,10 @@ if [ "${RESUME:-0}" != "1" ]; then
     "$D"/whale-bigan-finetuned-*.tar
 fi
 
-# checkpoint only at the end: the d=64 256^2 BiGAN train state serializes
-# to multi-GB on this 1-core host (same reasoning as tools/audio_battery.sh)
+# periodic checkpoints (cadence CKPT_EVERY above) are safe since
+# save_checkpoint fetches the ~1.75 GB d=64 state in 32 MB chunks — a
+# monolithic device_get of it wedges the axon relay (round-3 finding);
+# serialization on this 1-core host still costs minutes per save
 $STAGE "$D/bigan_stage.log" -- \
   python -u train_whale_bigan.py $WHALE_DIRS --steps "$EPOCHS" --d "$WIDTH" \
   --checkpoint-every "$CKPT_EVERY" --output-path "$D" --resume "${INIT_FLAG[@]}"
