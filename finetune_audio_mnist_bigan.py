@@ -52,7 +52,7 @@ if __name__ == "__main__":
             f"({(len(x) // args.batch_size) / (time.time() - t0):.1f} steps/s)"
         )
 
-    tree["params_E"] = jax.device_get(state.params_E)
+    tree["params_E"] = state.params_E  # save_checkpoint fetches device arrays in chunks
 
     class _S:
         params_E = tree["params_E"]

@@ -57,7 +57,7 @@ if __name__ == "__main__":
             f"latent={float(metrics['latent']):.4f}"
         )
 
-    tree["params_E"] = jax.device_get(state.params_E)
+    tree["params_E"] = state.params_E  # save_checkpoint fetches device arrays in chunks
 
     class _S:
         params_E = tree["params_E"]

@@ -55,7 +55,7 @@ if __name__ == "__main__":
 
     out = os.path.join(args.output_path or ".", args.output_name)
     os.makedirs(args.output_path or ".", exist_ok=True)
-    save_checkpoint(out, {"params": jax.device_get(state.params)}, meta={"kind": "mnist-clf"})
+    save_checkpoint(out, {"params": state.params}, meta={"kind": "mnist-clf"})
     print(f"saved {out}")
 
     from imagecfgen_tpu.cli.common import clean_exit

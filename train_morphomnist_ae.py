@@ -54,7 +54,7 @@ if __name__ == "__main__":
     name = "all" if args.cls < 0 else str(args.cls)
     out = os.path.join(args.output_path or ".", f"ae-{name}.tar")
     os.makedirs(args.output_path or ".", exist_ok=True)
-    save_checkpoint(out, {"params": jax.device_get(state.params)},
+    save_checkpoint(out, {"params": state.params},
                     meta={"kind": "mnist-ae", "cls": args.cls})
     print(f"saved {out}")
 

@@ -48,7 +48,7 @@ if __name__ == "__main__":
         pred = np.asarray(trainer.predict(state, jnp.asarray(x[:2048]))) > 0
         acc = float((pred[:, 0] == (y[:2048, 0] > 0.5)).mean())
         out = os.path.join(args.output_path or ".", f"oracle-{d}.tar")
-        save_checkpoint(out, {"params": jax.device_get(state.params)},
+        save_checkpoint(out, {"params": state.params},
                         meta={"kind": "mnist-oracle", "digit": d})
         print(f"oracle {d}: train acc {acc:.4f} -> {out}")
 

@@ -61,7 +61,7 @@ if __name__ == "__main__":
     save_checkpoint(
         out,
         {
-            "params": jax.device_get(state.params),
+            "params": state.params,
             "spect_mean": np.asarray(stats.mean),
             "spect_std": np.asarray(stats.std),
         },
