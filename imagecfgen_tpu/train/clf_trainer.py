@@ -135,6 +135,11 @@ class SupervisedTrainer:
 
     def fit_epoch(self, state, data, key):
         """One epoch over a device-resident dataset from :meth:`upload_dataset`."""
+        if data["x"].shape[0] < self.tcfg.batch_size:
+            raise ValueError(
+                f"dataset ({data['x'].shape[0]} samples) is smaller than one "
+                f"batch ({self.tcfg.batch_size}); the scanned epoch would run "
+                "zero steps and report NaN metrics — lower batch_size")
         if not hasattr(self, "_fit_epoch_fn"):
             self._fit_epoch_fn = self._build_fit_epoch_fn(self.tcfg.batch_size)
             state = jax.device_put(state, NamedSharding(self.mesh, P()))

@@ -157,6 +157,11 @@ class UncondGANTrainer:
         )
 
     def fit_epoch(self, state, data, key):
+        if data["image"].shape[0] < self.tcfg.batch_size:
+            raise ValueError(
+                f"dataset ({data['image'].shape[0]} samples) is smaller than "
+                f"one batch ({self.tcfg.batch_size}); the scanned epoch would "
+                "run zero steps and report NaN metrics — lower batch_size")
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn(self.tcfg.batch_size)
             state = jax.device_put(state, NamedSharding(self.mesh, P()))
