@@ -97,3 +97,19 @@ def test_fetch_tree_matches_device_get():
         np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
         if hasattr(want[k], "dtype"):
             assert np.asarray(got[k]).dtype == np.asarray(want[k]).dtype, k
+
+
+def test_fetch_tree_sharded_array():
+    """fetch_tree must also handle mesh-sharded leaves (the data-parallel
+    trainers checkpoint states whose arrays live on all 8 virtual devices)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from imagecfgen_tpu.core.checkpoint import fetch_tree
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    x = jnp.arange(8 * 13 * 5, dtype=jnp.float32).reshape(8 * 13, 5)
+    sharded = jax.device_put(x, NamedSharding(mesh, P("data")))
+    repl = jax.device_put(x, NamedSharding(mesh, P()))
+    got = fetch_tree({"s": sharded, "r": repl}, chunk_bytes=128)
+    np.testing.assert_array_equal(got["s"], np.asarray(x))
+    np.testing.assert_array_equal(got["r"], np.asarray(x))
