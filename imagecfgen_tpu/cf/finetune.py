@@ -20,6 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models.bigan import BiGAN
 from ..ops.ssim import ssim
 from ..parallel.mesh import DATA_AXIS, data_mesh
+from ..train._guards import require_full_batch
 
 
 @flax.struct.dataclass
@@ -95,6 +96,7 @@ class EncoderFinetuner:
         )
 
     def fit_epoch(self, state, data, key):
+        require_full_batch(data["image"].shape[0], self.fcfg.batch_size)
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn(self.fcfg.batch_size)
             state = jax.device_put(state, NamedSharding(self.mesh, P()))

@@ -19,6 +19,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..parallel.mesh import DATA_AXIS, data_mesh
 
+from ._guards import require_full_batch
+
 
 @flax.struct.dataclass
 class SupervisedState:
@@ -135,11 +137,7 @@ class SupervisedTrainer:
 
     def fit_epoch(self, state, data, key):
         """One epoch over a device-resident dataset from :meth:`upload_dataset`."""
-        if data["x"].shape[0] < self.tcfg.batch_size:
-            raise ValueError(
-                f"dataset ({data['x'].shape[0]} samples) is smaller than one "
-                f"batch ({self.tcfg.batch_size}); the scanned epoch would run "
-                "zero steps and report NaN metrics — lower batch_size")
+        require_full_batch(data["x"].shape[0], self.tcfg.batch_size)
         if not hasattr(self, "_fit_epoch_fn"):
             self._fit_epoch_fn = self._build_fit_epoch_fn(self.tcfg.batch_size)
             state = jax.device_put(state, NamedSharding(self.mesh, P()))

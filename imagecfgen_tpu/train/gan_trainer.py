@@ -42,6 +42,8 @@ from ..core.attributes import AttributeScaler, AttributeSpec
 from ..models.bigan import BiGAN, BiGANConfig
 from ..parallel.mesh import DATA_AXIS, data_mesh
 
+from ._guards import require_full_batch
+
 
 def flat_adam(learning_rate: float, b1: float, b2: float, mu_dtype=None,
               eps: float = 1e-8) -> optax.GradientTransformation:
@@ -445,11 +447,7 @@ class GANTrainer:
 
     def fit_epoch(self, state: GANState, data, key) -> Tuple[GANState, Dict[str, jnp.ndarray]]:
         """One epoch over a device-resident dataset from :meth:`upload_dataset`."""
-        if data["image"].shape[0] < self.tcfg.batch_size:
-            raise ValueError(
-                f"dataset ({data['image'].shape[0]} samples) is smaller than "
-                f"one batch ({self.tcfg.batch_size}); the scanned epoch would "
-                "run zero steps and report NaN metrics — lower batch_size")
+        require_full_batch(data["image"].shape[0], self.tcfg.batch_size)
         if not hasattr(self, "_fit_epoch_fn"):
             self._fit_epoch_fn = self._build_fit_epoch_fn(self.tcfg.batch_size)
             state = jax.device_put(state, NamedSharding(self.mesh, P()))

@@ -23,6 +23,8 @@ from ..models.gan import (
 from ..parallel.mesh import DATA_AXIS, data_mesh
 from .gan_trainer import bce_logits
 
+from ._guards import require_full_batch
+
 
 @flax.struct.dataclass
 class UncondGANState:
@@ -157,11 +159,7 @@ class UncondGANTrainer:
         )
 
     def fit_epoch(self, state, data, key):
-        if data["image"].shape[0] < self.tcfg.batch_size:
-            raise ValueError(
-                f"dataset ({data['image'].shape[0]} samples) is smaller than "
-                f"one batch ({self.tcfg.batch_size}); the scanned epoch would "
-                "run zero steps and report NaN metrics — lower batch_size")
+        require_full_batch(data["image"].shape[0], self.tcfg.batch_size)
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn(self.tcfg.batch_size)
             state = jax.device_put(state, NamedSharding(self.mesh, P()))

@@ -107,8 +107,8 @@ class VAETrainer:
         if jax.tree_util.tree_leaves(batches)[0].shape[0] == 0:
             raise ValueError(
                 "zero batches for this epoch (dataset smaller than one "
-                "batch?); the scanned epoch would run zero steps and report "
-                "NaN metrics — lower batch_size")
+                "batch?); the scanned epoch would run zero steps and "
+                "report NaN metrics — lower batch_size")
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
         return self._epoch_fn(state, batches)

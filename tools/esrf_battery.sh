@@ -26,6 +26,10 @@ WAV_DIR=${WAV_DIR:-}
 LABEL_CSV=${LABEL_CSV:-}
 DATA_FLAGS=(--synthetic-recordings "$RECORDINGS")
 if [ -n "$WAV_DIR" ]; then
+  if [ -z "$LABEL_CSV" ]; then
+    echo "error: WAV_DIR requires LABEL_CSV (the station label table)" >&2
+    exit 1
+  fi
   DATA_FLAGS=(--wav-dir "$WAV_DIR" --label-csv "$LABEL_CSV")
 fi
 INIT_FLAG=()

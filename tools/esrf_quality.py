@@ -55,6 +55,8 @@ if __name__ == "__main__":
     if args.wav_dir and os.path.isdir(args.wav_dir):
         data = EsrfStation(args.wav_dir, args.label_csv)
     else:
+        if args.wav_dir:
+            print(f"warning: {args.wav_dir} not found; using the synthetic ESRF stand-in")
         data = EsrfStation(synthetic_recordings=args.synthetic_recordings)
 
     tree, meta = load_checkpoint(os.path.join(args.model_dir, args.bigan))
@@ -104,11 +106,12 @@ if __name__ == "__main__":
         add_r.append(rr[cur == 0]); rem_r.append(rr[cur == 1])
         add_c.append(rc[cur == 0]); rem_c.append(rc[cur == 1])
 
-    mse = float(np.mean(np.concatenate(mses)))
+    all_mse = np.concatenate(mses)
+    mse = float(np.mean(all_mse))
     ss = float(np.mean(np.concatenate(ssims)))
     add_r = np.concatenate(add_r); rem_r = np.concatenate(rem_r)
     add_c = np.concatenate(add_c); rem_c = np.concatenate(rem_c)
-    print(f"validation windows: {len(np.concatenate(mses))} "
+    print(f"validation windows: {len(all_mse)} "
           f"(no-boat {len(add_r)}, boat {len(rem_r)})")
     print(f"reconstruction: mse={mse:.4f} ssim={ss:.4f}")
     if len(add_r):
