@@ -59,7 +59,12 @@ while [ "$attempt" -le "$MAX_RETRIES" ]; do
     # long jit compiles stream bytes without printing); a wedged tunnel
     # client is the one state where rchar+wchar freeze entirely.
     now=$(date +%s)
-    io=$(awk -F': ' '/^(rchar|wchar)/{s+=$2} END{print s+0}' "/proc/$PGID/io" 2>/dev/null)
+    # printf %.0f: awk's default print switches to scientific notation for
+    # sums beyond ~2^31 ("3.56946e+09"), which is a fatal syntax error in
+    # the bash arithmetic below — the watchdog then aborts WITHOUT killing
+    # the stage (observed once the chunked checkpoint fetch pushed a
+    # trainer's io counters past 2 GB)
+    io=$(awk -F': ' '/^(rchar|wchar)/{s+=$2} END{printf "%.0f", s+0}' "/proc/$PGID/io" 2>/dev/null)
     log_age=$(( now - $(stat -c %Y "$LOG") ))
     if [ "$log_age" -le "$POLL_SECS" ]; then
       last_activity=$now
