@@ -55,17 +55,19 @@ def fetch_tree(tree: Any, chunk_bytes: int = 32 << 20,
         if leaf.ndim == 0 or leaf.nbytes <= chunk_bytes:
             out.append(jax.device_get(leaf))
         else:
-            row_bytes = max(leaf.nbytes // max(leaf.shape[0], 1), 1)
-            rows = max(int(chunk_bytes // row_bytes), 1)
+            # flatten so the bound holds for ANY shape (a single row of a
+            # wide leaf can itself exceed chunk_bytes)
+            flat = leaf.reshape((-1,))
+            elems = max(int(chunk_bytes // max(leaf.dtype.itemsize, 1)), 1)
             parts = []
-            for i in range(0, leaf.shape[0], rows):
-                parts.append(jax.device_get(leaf[i : i + rows]))
+            for i in range(0, flat.shape[0], elems):
+                parts.append(jax.device_get(flat[i : i + elems]))
                 fetched_part = sum(p.nbytes for p in parts)
                 if verbose and fetched + fetched_part - last_mark >= progress_bytes:
                     last_mark = fetched + fetched_part
                     print(f"[checkpoint] fetched {last_mark / 2**20:.0f}"
                           f"/{total / 2**20:.0f} MB", flush=True)
-            out.append(np.concatenate(parts, axis=0))
+            out.append(np.concatenate(parts).reshape(leaf.shape))
         fetched += leaf.nbytes
         if verbose and fetched - last_mark >= progress_bytes:
             last_mark = fetched
