@@ -72,10 +72,23 @@ if __name__ == "__main__":
         samples, _ = deep.explain(xb, ab, target_class=target, sample_points=50)
         deep_cfs.append(np.asarray(samples[0]).reshape(28, 28))
 
+    # pixel-space baseline rows (reference mnist_cf_comparisons.py:52-66
+    # shows omnixai's counterfactual + contrastive outputs alongside the
+    # SCM explainers; built from the framework's own Wachter-CF / CEM
+    # reimplementation, imagecfgen_tpu/cf/baselines.py)
+    from imagecfgen_tpu.cf.baselines import PixelBaselineExplainers
+
+    baselines = PixelBaselineExplainers(clf_fn, steps=args.steps * 10)
+    x_all = jnp.asarray(x[:n])
+    wachter_cfs, _ = baselines.counterfactual(x_all)
+    pns, _, _, _ = baselines.contrastive(x_all)
+
     save_grid_png(
         args.output,
-        [np.stack(originals), np.stack(hinge_cfs), np.stack(deep_cfs)],
-        ["x", "hinge CF", "mixture CF"],
+        [np.stack(originals), np.stack(hinge_cfs), np.stack(deep_cfs),
+         np.asarray(wachter_cfs).reshape(n, 28, 28),
+         np.asarray(pns).reshape(n, 28, 28)],
+        ["x", "hinge CF", "mixture CF", "pixel CF", "CEM PN"],
         title="targets: " + " ".join(map(str, targets)),
     )
     print(f"saved {args.output}")

@@ -88,6 +88,19 @@ if __name__ == "__main__":
         "bigan_agnostic": DeepCounterfactualExplainer(E_fn, G_fn, clf_fn, "digit"),
     }
 
+    # Pixel-space baseline columns (reference mnist_oracle_scores.py:108-139
+    # uses omnixai's ContrastiveExplainer -> "pn" and
+    # CounterfactualExplainer -> "cf"); produced here by the framework's
+    # from-scratch Wachter-CF / CEM reimplementation
+    # (imagecfgen_tpu/cf/baselines.py), batched as one jitted program each.
+    from imagecfgen_tpu.cf.baselines import PixelBaselineExplainers
+
+    _builtin = PixelBaselineExplainers(clf_fn, steps=args.steps * 3, lr=args.lr)
+    _x_all = jnp.asarray(x[:n])
+    _cf_all, _ = _builtin.counterfactual(_x_all)
+    _pn_all, _, _, _ = _builtin.contrastive(_x_all)
+    baseline_images = {"cf": np.asarray(_cf_all), "pn": np.asarray(_pn_all)}
+
     rng = np.random.default_rng(args.seed)
     digits = np.asarray(attrs["digit"]).argmax(axis=1)
     rows = []
@@ -112,15 +125,17 @@ if __name__ == "__main__":
             row[f"{name}_js"] = js_divergence(probs, os_)
             for j in range(10):
                 row[f"{name}_os_{j}"] = os_[j]
-        # OmnixAI baseline columns (reference mnist_oracle_scores.py:122-139
-        # 'cf'/'pn' methods) — NaN when omnixai is absent, keeping the CSV
-        # schema drop-in comparable
+        # Baseline columns (reference mnist_oracle_scores.py:122-139
+        # 'cf'/'pn' methods), scored identically to the SCM explainers
         for name in ("cf", "pn"):
-            row[f"{name}_label"] = np.nan
-            row[f"{name}_oracle_agree"] = np.nan
-            row[f"{name}_js"] = np.nan
+            bcf = jnp.asarray(baseline_images[name][i : i + 1])
+            probs = np.asarray(jax.nn.softmax(clf_fn(bcf), axis=1))[0]
+            os_ = oracle_scores(bcf)
+            row[f"{name}_label"] = int(probs.argmax())
+            row[f"{name}_oracle_agree"] = int(os_.argmax() == probs.argmax())
+            row[f"{name}_js"] = js_divergence(probs, os_)
             for j in range(10):
-                row[f"{name}_os_{j}"] = np.nan
+                row[f"{name}_os_{j}"] = os_[j]
         rows.append(row)
 
     pd.DataFrame(rows).to_csv(args.output, index=False)

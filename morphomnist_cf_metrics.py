@@ -113,8 +113,11 @@ if __name__ == "__main__":
 
     # OmnixAI baselines (reference morphomnist_cf_metrics.py:70-118):
     # ContrastiveExplainer -> "pn", CounterfactualExplainer -> "cf".
-    # The package is optional; without it the columns are emitted as NaN
-    # so the CSV schema stays byte-compatible.
+    # The package is preferred when importable; otherwise the columns are
+    # produced by the framework's own from-scratch implementations of the
+    # same published algorithms (Wachter CF + CEM,
+    # imagecfgen_tpu/cf/baselines.py) so the benchmark stays complete
+    # offline.
     omnix_explain = None
     try:
         from omnixai.data.image import Image  # type: ignore
@@ -134,7 +137,7 @@ if __name__ == "__main__":
         _contr = ContrastiveExplainer(model=_tclf, preprocess_function=None)
         _cfexp = CounterfactualExplainer(model=_tclf, preprocess_function=None)
 
-        def omnix_explain(kind, x_np):
+        def omnix_explain(kind, x_np, i=None):
             im = Image(x_np.reshape((1, 28, 28, 1)), batched=True)
             if kind == "pn":
                 out = _contr.explain(im).explanations[0]["pn"]
@@ -142,7 +145,21 @@ if __name__ == "__main__":
                 out = _cfexp.explain(im).explanations[0]["cf"]
             return np.asarray(out, np.float32).reshape(1, 28, 28, 1)
     except Exception as e:  # omnixai absent (this image) or API drift
-        print(f"omnixai baselines unavailable ({e!r}); emitting NaN columns")
+        from imagecfgen_tpu.cf.baselines import PixelBaselineExplainers
+
+        print(f"omnixai unavailable ({e!r}); using the built-in "
+              "Wachter-CF / CEM reimplementation for the cf/pn columns")
+        _builtin = PixelBaselineExplainers(clf_fn, steps=args.steps * 3,
+                                           lr=args.lr)
+        # one jitted program over the whole benchmark batch per method
+        _x_all = jnp.asarray(x[:n])
+        _cf_all, _ = _builtin.counterfactual(_x_all)
+        _pn_all, _, _, _ = _builtin.contrastive(_x_all)
+        _batch = {"cf": np.asarray(_cf_all, np.float32),
+                  "pn": np.asarray(_pn_all, np.float32)}
+
+        def omnix_explain(kind, x_np, i=None):
+            return _batch[kind][i : i + 1]
 
     rng = np.random.default_rng(args.seed)
     digits = np.asarray(attrs["digit"]).argmax(axis=1)
@@ -172,13 +189,13 @@ if __name__ == "__main__":
             row[f"o_rec_{name}"] = o_rec(cf, digit)
             row[f"t_rec_{name}"] = o_rec(cf, label)
             row[f"all_rec_{name}"] = all_rec(cf, label)
-        # OmnixAI contrastive ("pn") / counterfactual ("cf") baseline
-        # columns — emitted NaN when the package is absent so the CSV
-        # schema stays drop-in comparable with the reference's
+        # Contrastive ("pn") / counterfactual ("cf") baseline columns —
+        # omnixai when importable, else the built-in reimplementation;
+        # CSV schema stays drop-in comparable with the reference's
         # (morphomnist_cf_metrics.py:120-156)
         for name in ("cf", "pn"):
             if omnix_explain is not None:
-                img = omnix_explain(name, np.asarray(xb))
+                img = omnix_explain(name, np.asarray(xb), i)
                 ocf = jnp.asarray(img)
                 lab = int(jnp.argmax(clf_fn(ocf), axis=1)[0])
                 row[f"{name}_label"] = lab

@@ -85,7 +85,7 @@ def test_c_counterfactual_figures(work):
     run(work, "display_thickness.py", "--data-dir", str(work),
         "--model-dir", str(work), "--n-points", 5)
     run(work, "uncertainty_evolution.py", "--data-dir", str(work),
-        "--model-dir", str(work), "--n-points", 5)
+        "--model-dir", str(work), "--n-points", 5, "--contrastive-steps", 5)
     run(work, "cf_automatic_mix.py", "--data-dir", str(work),
         "--model-dir", str(work), "--sample-points", 5)
     run(work, "mnist_mix_vae_gui.py", "--data-dir", str(work),
@@ -121,8 +121,9 @@ def test_e_explainer_benchmarks(work):
 
 
 def test_f_csv_schemas(work):
-    """cf-metrics + oracle-scores CSVs carry the OmnixAI baseline columns
-    (NaN offline) so downstream comparisons stay drop-in (reference
+    """cf-metrics + oracle-scores CSVs carry the pixel-baseline columns
+    (produced offline by the built-in Wachter-CF / CEM reimplementation)
+    so downstream comparisons stay drop-in (reference
     morphomnist_cf_metrics.py:120-156, mnist_oracle_scores.py:122-139)."""
     import pandas as pd
 
@@ -134,7 +135,10 @@ def test_f_csv_schemas(work):
         for col in (f"{m}_label", f"l1_{m}", f"o_rec_{m}", f"t_rec_{m}",
                     f"all_rec_{m}"):
             assert col in df.columns, col
-    assert df["cf_label"].isna().all()  # omnixai absent -> NaN, not missing
+    # the built-in baselines populate the columns with real values
+    assert df["cf_label"].notna().all()
+    assert df["pn_label"].notna().all()
+    assert df["l1_cf"].notna().all()
 
     run(work, "mnist_oracle_scores.py", "--data-dir", str(work),
         "--model-dir", str(work), "--limit", 4, "--steps", 3,

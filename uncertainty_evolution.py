@@ -15,6 +15,8 @@ parser.add_argument("--clf-type", type=str, default="morpho",
 parser.add_argument("--image-index", type=int, default=0)
 parser.add_argument("--target-class", type=int, default=3)
 parser.add_argument("--n-points", type=int, default=50)
+parser.add_argument("--contrastive-steps", type=int, default=300,
+                    help="optimization steps for the CEM PN/PP panels")
 parser.add_argument("--output", type=str, default="uncertainty-evolution.png")
 
 if __name__ == "__main__":
@@ -62,18 +64,40 @@ if __name__ == "__main__":
     probs = np.asarray(jax.nn.softmax(clf.apply({"params": clf_tree["params"]}, samples), axis=1))
     entropy = -(probs * np.log(np.maximum(probs, 1e-12))).sum(axis=1)
 
+    # contrastive panels (reference uncertainty_evolution.py:41-77 draws
+    # the CEM pertinent negative/positive next to each original; built
+    # from the framework's own CEM reimplementation)
+    from imagecfgen_tpu.cf.baselines import PixelBaselineExplainers
+
+    clf_fn = jax.jit(lambda im: clf.apply({"params": clf_tree["params"]}, im))
+    contrastive = PixelBaselineExplainers(clf_fn, steps=args.contrastive_steps)
+    pn, _, pp, _ = contrastive.contrastive(xb)
+    base = (np.asarray(xb)[0, :, :, 0] + 1) / 2
+    pn_delta = np.asarray(pn)[0, :, :, 0] - np.asarray(xb)[0, :, :, 0]
+    pp_img = (np.abs(np.asarray(pp)[0, :, :, 0]) > 0.01)
+    pn_display = np.ones((28, 28, 3)) * base[:, :, None]
+    pn_display[np.abs(pn_delta) > 0.01, :] = np.array([0, 1, 0])
+    pp_display = np.ones((28, 28, 3)) * base[:, :, None]
+    pp_display[pp_img, :] = np.array([0, 0, 1])
+
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 3.5))
+    fig, axes = plt.subplots(1, 5, figsize=(18, 3.5))
+    ax1, ax2, ax3, ax4, ax5 = axes
     mixv = np.linspace(0, 1, p)
     for c in (original, args.target_class):
         ax1.plot(mixv, probs[:, c], label=f"class {c}")
     ax1.set_xlabel("mixture weight"); ax1.set_ylabel("probability"); ax1.legend()
     ax2.plot(mixv, entropy)
     ax2.set_xlabel("mixture weight"); ax2.set_ylabel("predictive entropy")
+    ax3.imshow(base, cmap="gray"); ax3.set_title("original", fontsize=10)
+    ax4.imshow(pn_display); ax4.set_title("pertinent negative", fontsize=10)
+    ax5.imshow(pp_display); ax5.set_title("pertinent positive", fontsize=10)
+    for ax in (ax3, ax4, ax5):
+        ax.set_xticks([]); ax.set_yticks([])
     fig.suptitle(f"uncertainty evolution {original} -> {args.target_class}")
     fig.tight_layout()
     fig.savefig(args.output)
