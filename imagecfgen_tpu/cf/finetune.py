@@ -20,7 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..models.bigan import BiGAN
 from ..ops.ssim import ssim
 from ..parallel.mesh import DATA_AXIS, data_mesh
-from ..train._guards import require_full_batch
+from ..train._guards import require_full_batch, resolve_batch
 
 
 @flax.struct.dataclass
@@ -96,10 +96,12 @@ class EncoderFinetuner:
         )
 
     def fit_epoch(self, state, data, key):
-        require_full_batch(data["image"].shape[0], self.fcfg.batch_size)
+        n = data["image"].shape[0]
         if self._epoch_fn is None:
-            self._epoch_fn = self._build_epoch_fn(self.fcfg.batch_size)
+            self._fit_batch = resolve_batch(n, self.fcfg.batch_size, self.mesh.size)
+            self._epoch_fn = self._build_epoch_fn(self._fit_batch)
             state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        require_full_batch(n, self._fit_batch)
         return self._epoch_fn(state, data, key)
 
     def upload_dataset(self, x: np.ndarray, attrs: Mapping[str, np.ndarray]):

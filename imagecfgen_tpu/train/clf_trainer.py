@@ -19,7 +19,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..parallel.mesh import DATA_AXIS, data_mesh
 
-from ._guards import require_full_batch
+from ._guards import require_full_batch, resolve_batch
 
 
 @flax.struct.dataclass
@@ -137,10 +137,12 @@ class SupervisedTrainer:
 
     def fit_epoch(self, state, data, key):
         """One epoch over a device-resident dataset from :meth:`upload_dataset`."""
-        require_full_batch(data["x"].shape[0], self.tcfg.batch_size)
+        n = data["x"].shape[0]
         if not hasattr(self, "_fit_epoch_fn"):
-            self._fit_epoch_fn = self._build_fit_epoch_fn(self.tcfg.batch_size)
+            self._fit_batch = resolve_batch(n, self.tcfg.batch_size, self.mesh.size)
+            self._fit_epoch_fn = self._build_fit_epoch_fn(self._fit_batch)
             state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        require_full_batch(n, self._fit_batch)
         return self._fit_epoch_fn(state, data, key)
 
     def predict(self, state: SupervisedState, x):

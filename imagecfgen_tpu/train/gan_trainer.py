@@ -42,7 +42,7 @@ from ..core.attributes import AttributeScaler, AttributeSpec
 from ..models.bigan import BiGAN, BiGANConfig
 from ..parallel.mesh import DATA_AXIS, data_mesh
 
-from ._guards import require_full_batch
+from ._guards import require_full_batch, resolve_batch
 
 
 def flat_adam(learning_rate: float, b1: float, b2: float, mu_dtype=None,
@@ -447,10 +447,12 @@ class GANTrainer:
 
     def fit_epoch(self, state: GANState, data, key) -> Tuple[GANState, Dict[str, jnp.ndarray]]:
         """One epoch over a device-resident dataset from :meth:`upload_dataset`."""
-        require_full_batch(data["image"].shape[0], self.tcfg.batch_size)
+        n = data["image"].shape[0]
         if not hasattr(self, "_fit_epoch_fn"):
-            self._fit_epoch_fn = self._build_fit_epoch_fn(self.tcfg.batch_size)
+            self._fit_batch = resolve_batch(n, self.tcfg.batch_size, self.mesh.size)
+            self._fit_epoch_fn = self._build_fit_epoch_fn(self._fit_batch)
             state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        require_full_batch(n, self._fit_batch)
         return self._fit_epoch_fn(state, data, key)
 
 

@@ -23,7 +23,7 @@ from ..models.gan import (
 from ..parallel.mesh import DATA_AXIS, data_mesh
 from .gan_trainer import bce_logits
 
-from ._guards import require_full_batch
+from ._guards import require_full_batch, resolve_batch
 
 
 @flax.struct.dataclass
@@ -159,10 +159,12 @@ class UncondGANTrainer:
         )
 
     def fit_epoch(self, state, data, key):
-        require_full_batch(data["image"].shape[0], self.tcfg.batch_size)
+        n = data["image"].shape[0]
         if self._epoch_fn is None:
-            self._epoch_fn = self._build_epoch_fn(self.tcfg.batch_size)
+            self._fit_batch = resolve_batch(n, self.tcfg.batch_size, self.mesh.size)
+            self._epoch_fn = self._build_epoch_fn(self._fit_batch)
             state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        require_full_batch(n, self._fit_batch)
         return self._epoch_fn(state, data, key)
 
     def upload_dataset(self, x: np.ndarray):

@@ -287,3 +287,33 @@ def test_fused_d_steps_trains():
     assert np.isfinite(float(m["loss_D"])) and np.isfinite(float(m["loss_EG"]))
     assert 0.0 < float(m["D_score"]) < 1.0
     assert int(state.step) == 6
+
+
+def test_batch_clamped_to_tiny_dataset():
+    """A dataset smaller than one configured batch trains anyway: the first
+    fit_epoch clamps the compiled batch to the largest mesh-even size that
+    fits (the reference's torch loop simply emits one short batch —
+    training_utils.batchify — so its CLI commands work on tiny data; ours
+    must too), and later epochs reuse the clamped program."""
+    import pytest
+
+    from imagecfgen_tpu.train._guards import resolve_batch
+
+    x, attrs = _data(16)
+    trainer = GANTrainer(BiGAN(tiny_config()), GANTrainConfig(batch_size=64))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    data = trainer.upload_dataset(x, attrs)
+    for e in range(2):
+        state, m = trainer.fit_epoch(state, data, jax.random.PRNGKey(e))
+    assert np.isfinite(float(m["loss_D"]))
+    # 16 samples on the 8-device mesh -> clamp to 16, one step per epoch
+    assert trainer._fit_batch == 16
+    assert int(state.step) == 2
+    # unfillable: fewer samples than mesh devices
+    with pytest.raises(ValueError):
+        resolve_batch(trainer.mesh.size - 1, 64, trainer.mesh.size)
+    # post-compile invariant still guards a shrunken dataset
+    tiny, tattrs = _data(8)
+    with pytest.raises(ValueError):
+        trainer.fit_epoch(state, trainer.upload_dataset(tiny, tattrs),
+                          jax.random.PRNGKey(9))
