@@ -40,12 +40,18 @@ bash tools/tpu_stage.sh "$D/bigan_stage.log" -- \
 tail -3 "$D/bigan_stage.log"
 python finetune_mnist_bigan.py --data-dir "$D" --steps 60 \
   --model-file "$D/mnist-bigan.tar"
+mv mnist-bigan-finetuned-mse.tar "$D/"  # finetune writes to CWD
 python train_mnist_attribute_scm.py --data-dir "$D" --steps 2000 --output-path "$D"
 python train_mnist_clf.py --data-dir "$D" --epochs 20 --output-path "$D"
 python train_mnist_vae.py --data-dir "$D" --steps 100 --output-path "$D"
 
 echo "=== BiGAN CF score ==="
 python mnist_bigan_score.py --data-dir "$D" --model-dir "$D" --limit 2048
+echo "=== BiGAN CF score (fine-tuned encoder) ==="
+# the whale battery showed the SSIM fine-tune is worth +0.13 CF accuracy
+# there; score the MNIST fine-tuned encoder too so the battery tracks it
+python mnist_bigan_score.py --data-dir "$D" --model-dir "$D" --limit 2048 \
+  -m "$D"/mnist-bigan-finetuned-mse.tar
 echo "=== VAE CF score ==="
 python mnist_vae_score.py --data-dir "$D" --model-dir "$D" --limit 2048
 echo "=== generator scores ==="
