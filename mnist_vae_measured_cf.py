@@ -23,6 +23,10 @@ parser.add_argument("--limit", type=int, default=256)
 parser.add_argument("--workers", type=int, default=max(os.cpu_count() - 1, 1))
 parser.add_argument("--output", type=str, default="mnist-vae-measured-cf.png")
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--target-shift", type=float, default=0.0,
+                    help="add a constant to the sampled thickness targets, "
+                         "pushing interventions beyond the training range "
+                         "(held-out magnitudes — the hard battery mode)")
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -86,7 +90,7 @@ if __name__ == "__main__":
     errors = {}
     for i, attribute in enumerate(attrs_to_do):
         if attribute == "thickness":
-            target = gt.sample_thickness(n)
+            target = gt.sample_thickness(n) + args.target_shift
         elif attribute == "intensity":
             target = gt.sample_intensity(np.asarray(attrs["thickness"][:n]).reshape(-1, 1))
         else:

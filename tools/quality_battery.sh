@@ -60,3 +60,5 @@ python mnist_vae_generator_score.py --model-dir "$D" --n 2048
 echo "=== measured CF parity ==="
 python mnist_gan_measured_cf.py --data-dir "$D" --model-dir "$D" --limit 256 \
   --workers 1 "${SHIFT[@]}"
+python mnist_vae_measured_cf.py --data-dir "$D" --model-dir "$D" --limit 256 \
+  --workers 1 "${SHIFT[@]}"
