@@ -79,18 +79,62 @@ def fetch_tree(tree: Any, chunk_bytes: int = 32 << 20,
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+class _Heartbeat:
+    """Print a liveness line every ``interval`` seconds while a silent
+    CPU-bound phase runs. ``serialization.to_bytes`` of a multi-GB state
+    produces no log output and no process IO for minutes on this 1-core
+    host; the stage stall watchdog (tools/tpu_stage.sh) killed a healthy
+    8.3 GB ESRF checkpoint save exactly there — the heartbeat keeps the
+    log growing so only genuinely wedged processes get killed."""
+
+    def __init__(self, label: str, interval: float = 60.0):
+        import threading
+
+        self._stop = threading.Event()
+        self._label = label
+        self._interval = interval
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        import time
+
+        t0 = time.monotonic()
+        while not self._stop.wait(self._interval):
+            print(f"[checkpoint] {self._label}... "
+                  f"{time.monotonic() - t0:.0f}s", flush=True)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join()
+
+
 def save_checkpoint(path: str, tree: Any, meta: Optional[Dict] = None) -> None:
     """Atomically write ``tree`` (any pytree of arrays/scalars) + meta."""
     tree = fetch_tree(tree)
-    payload = serialization.to_bytes(tree)
+    total = sum(l.nbytes for l in jax.tree_util.tree_leaves(tree)
+                if hasattr(l, "nbytes"))
+    verbose = total >= (512 << 20)
+    if verbose:
+        print(f"[checkpoint] serializing {total / 2**20:.0f} MB", flush=True)
+    with _Heartbeat("serializing"):
+        payload = serialization.to_bytes(tree)
     meta_bytes = json.dumps(meta or {}).encode("utf-8")
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
+    with _Heartbeat("writing"), open(tmp, "wb") as f:
         f.write(_MAGIC)
         f.write(struct.pack("<II", _VERSION, len(meta_bytes)))
         f.write(meta_bytes)
-        f.write(payload)
+        # chunked writes so the watchdog's IO probe sees steady progress
+        view = memoryview(payload)
+        for i in range(0, len(view), 256 << 20):
+            f.write(view[i : i + (256 << 20)])
     os.replace(tmp, path)
+    if verbose:
+        print(f"[checkpoint] wrote {path}", flush=True)
 
 
 def load_meta(path: str) -> Dict:
