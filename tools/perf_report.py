@@ -24,18 +24,39 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BEGIN, END = "<!-- bench:begin -->", "<!-- bench:end -->"
 
 
-def latest_record():
-    """(record, source_name) for the newest driver bench capture."""
+def _git_tracked() -> set[str] | None:
+    """Basenames of git-tracked files, or None if git is unavailable."""
+    try:
+        out = subprocess.run(
+            ["git", "-C", ROOT, "ls-files", "BENCH_r*.json"],
+            capture_output=True, text=True, timeout=30)
+        if out.returncode != 0:
+            return None
+        return {os.path.basename(l) for l in out.stdout.splitlines() if l}
+    except Exception:
+        return None
+
+
+def latest_record(committed_only: bool = False):
+    """(record, source_name) for the newest driver bench capture.
+
+    With ``committed_only`` (used by ``--check``), untracked BENCH files are
+    ignored: the round driver drops ``BENCH_r{N}.json`` *after* the round's
+    last commit, and without this filter that drop retroactively reddens a
+    finished round's doc-freshness test (VERDICT r3 weak item 1).
+    """
+    tracked = _git_tracked() if committed_only else None
     rounds = []
     for p in glob.glob(os.path.join(ROOT, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
+        if m and (tracked is None or os.path.basename(p) in tracked):
             rounds.append((int(m.group(1)), p))
     for _, p in sorted(rounds, reverse=True):
         rec = json.load(open(p))
@@ -131,7 +152,7 @@ def main(argv=None):
     ap.add_argument("--check", action="store_true",
                     help="exit 1 if any doc is stale instead of rewriting")
     args = ap.parse_args(argv)
-    rec, source = latest_record()
+    rec, source = latest_record(committed_only=args.check)
     block = render(rec, source)
     stale = []
     for rel in ("README.md", "RESULTS.md", "docs/PERF.md"):
