@@ -109,28 +109,38 @@ class ConditionalVAE:
         kl_weight: float = 1.0,
         train: bool = False,
     ) -> jnp.ndarray:
-        """Mean ELBO over the batch (reference ``deepscm_vae/mnist.py:121-133``)."""
+        """Mean ELBO over the batch (reference ``deepscm_vae/mnist.py:121-133``).
+
+        The MC samples are folded into the batch axis **batch-major**
+        (z: (B, S, ...) -> (B*S, ...)) and the decoder runs once at batch
+        B*S. A ``vmap`` over samples would instead merge (S, B) with the
+        sharded B minor — a layout GSPMD cannot express, so the compiled
+        DP program all-gathered the batch and recomputed the full decoder
+        redundantly on every device (caught by tests/test_collectives.py).
+        The B-major merge keeps each device's shard contiguous: the same
+        program is a pure gradient all-reduce again, and the decoder's MXU
+        batch grows S-fold."""
         mean, log_var = self.encoder.apply(
             {"params": params["encoder"]}, x, attrs, train=train
         )
         std = jnp.exp(0.5 * log_var)
-        x_flat = x.reshape((x.shape[0], -1))
+        b = x.shape[0]
+        s = num_samples
+        x_flat = x.reshape((b, -1))
         obs_std = jnp.exp(self.obs_log_var / 2.0)
 
-        def one_sample(key):
-            z = mean + std * jax.random.normal(key, mean.shape)
-            dec = self.decoder.apply(
-                {"params": params["decoder"]}, z, attrs, train=train
-            ).reshape((x.shape[0], -1))
-            # log N(x; dec, obs_std^2 I), summed over pixels
-            d = (x_flat - dec) / obs_std
-            lp = -0.5 * (d**2).sum(axis=1) - x_flat.shape[1] * (
-                jnp.log(obs_std) + 0.5 * jnp.log(2.0 * jnp.pi)
-            )
-            return lp
-
-        keys = jax.random.split(rng, num_samples)
-        lp = jax.vmap(one_sample)(keys).mean(axis=0)
+        eps = jax.random.normal(rng, (b, s) + mean.shape[1:], mean.dtype)
+        z = (mean[:, None] + std[:, None] * eps).reshape((b * s,) + mean.shape[1:])
+        attrs_rep = {k: jnp.repeat(v, s, axis=0) for k, v in attrs.items()}
+        dec = self.decoder.apply(
+            {"params": params["decoder"]}, z, attrs_rep, train=train
+        ).reshape((b, s, -1))
+        # log N(x; dec, obs_std^2 I), summed over pixels, MC-averaged over s
+        d = (x_flat[:, None] - dec) / obs_std
+        lp = -0.5 * (d**2).sum(axis=2) - x_flat.shape[1] * (
+            jnp.log(obs_std) + 0.5 * jnp.log(2.0 * jnp.pi)
+        )
+        lp = lp.mean(axis=1)
 
         var = std**2
         dkl = 0.5 * (var + mean**2 - 1.0 - jnp.log(var)).reshape((x.shape[0], -1)).sum(

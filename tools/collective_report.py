@@ -103,11 +103,12 @@ def collective_summary(hlo_text: str) -> dict:
 
 
 FAMILIES = {
-    # name -> (config builder, batch per the reference's real runs)
-    "mnist": (lambda: mnist_bigan_config(), 64),
-    "audio": (lambda: audio_mnist_bigan_config(), 128),
-    "whale": (lambda: whale_bigan_config(), 32),
-    "esrf": (lambda: esrf_bigan_config(), 64),
+    # name -> (config builder(d), batch per the reference's real runs);
+    # d=None means the family has no width knob (MNIST's plans are fixed)
+    "mnist": (lambda d: mnist_bigan_config(), 64),
+    "audio": (lambda d: audio_mnist_bigan_config(**({"d": d} if d else {})), 128),
+    "whale": (lambda d: whale_bigan_config(**({"d": d} if d else {})), 32),
+    "esrf": (lambda d: esrf_bigan_config(**({"d": d} if d else {})), 64),
 }
 
 
@@ -117,33 +118,73 @@ def tree_bytes(tree) -> int:
                if hasattr(x, "shape"))
 
 
-def audit_family(name: str, remat: bool = False) -> dict:
-    cfg_fn, batch = FAMILIES[name]
-    cfg = cfg_fn()
-    mesh = data_mesh()
-    trainer = GANTrainer(BiGAN(cfg), GANTrainConfig(
-        batch_size=batch, remat=remat), mesh=mesh)
-    state = trainer.init_state(jax.random.PRNGKey(0))
+def _batch_avals(cfg, batch, bsh):
+    avals = {
+        "image": jax.ShapeDtypeStruct((batch, *cfg.image_size, cfg.image_channels),
+                                      jnp.float32, sharding=bsh),
+        "attrs": {},
+    }
+    for a in cfg.attr_spec.categorical:
+        avals["attrs"][a.name] = jax.ShapeDtypeStruct(
+            (batch, a.n_categories), jnp.float32, sharding=bsh)
+    for a in cfg.attr_spec.continuous:
+        avals["attrs"][a.name] = jax.ShapeDtypeStruct(
+            (batch,), jnp.float32, sharding=bsh)
+    return avals
 
-    h, w = cfg.image_size
+
+def audit_vae(batch: int = 64, cfg=None) -> dict:
+    """Same pure-DP audit for the conditional-VAE trainer — a different
+    program shape (single optimizer, MC-sampled ELBO) than the
+    alternating-GAN step (VERDICT r3 item 7)."""
+    from imagecfgen_tpu.models.vae import ConditionalVAE, mnist_vae_config
+    from imagecfgen_tpu.train.vae_trainer import VAETrainConfig, VAETrainer
+
+    if cfg is None:
+        cfg = mnist_vae_config()
+    mesh = data_mesh()
+    trainer = VAETrainer(ConditionalVAE(cfg), VAETrainConfig(batch_size=batch),
+                         mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(DATA_AXIS))
     state_avals = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype,
                                        sharding=repl), state)
-    batch_avals = {
-        "image": jax.ShapeDtypeStruct((batch, h, w, cfg.image_channels),
-                                      jnp.float32, sharding=bsh),
-        "attrs": {},
+    compiled = jax.jit(trainer.train_step).lower(
+        state_avals, _batch_avals(cfg, batch, bsh)).compile()
+    summary = collective_summary(compiled.as_text())
+    expected = tree_bytes(state.params)  # one optimizer -> one grad all-reduce
+    ar = summary["all-reduce"]["bytes"]
+    return {
+        "family": "vae",
+        "n_devices": len(jax.devices()),
+        "batch": batch,
+        "remat": False,
+        "param_bytes": {"ED": expected},
+        "collectives": summary,
+        "expected_grad_allreduce_bytes": expected,
+        "allreduce_over_expected": round(ar / expected, 4) if expected else None,
     }
-    for a in cfg.attr_spec.categorical:
-        batch_avals["attrs"][a.name] = jax.ShapeDtypeStruct(
-            (batch, a.n_categories), jnp.float32, sharding=bsh)
-    for a in cfg.attr_spec.continuous:
-        batch_avals["attrs"][a.name] = jax.ShapeDtypeStruct(
-            (batch,), jnp.float32, sharding=bsh)
 
-    compiled = jax.jit(trainer.train_step).lower(state_avals, batch_avals).compile()
+
+def audit_family(name: str, remat: bool = False, d: int | None = None) -> dict:
+    if name == "vae":
+        return audit_vae()
+    cfg_fn, batch = FAMILIES[name]
+    cfg = cfg_fn(d)
+    mesh = data_mesh()
+    trainer = GANTrainer(BiGAN(cfg), GANTrainConfig(
+        batch_size=batch, remat=remat), mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(DATA_AXIS))
+    state_avals = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype,
+                                       sharding=repl), state)
+    compiled = jax.jit(trainer.train_step).lower(
+        state_avals, _batch_avals(cfg, batch, bsh)).compile()
     summary = collective_summary(compiled.as_text())
 
     grads_eg = tree_bytes({"E": state.params_E, "G": state.params_G})
@@ -165,7 +206,7 @@ def audit_family(name: str, remat: bool = False) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--families", type=str, default="mnist,audio,whale,esrf")
+    ap.add_argument("--families", type=str, default="mnist,audio,whale,esrf,vae")
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
 
