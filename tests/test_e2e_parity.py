@@ -64,6 +64,24 @@ class EmpiricalDigitGraph:
         out = dict(obs_in or {})
         out["digit"] = digit
         return out
+
+
+class EmpiricalJointGraph:
+    """Stand-in whose ``sample(n=...)`` draws whole attribute rows from the
+    empirical joint (used by mnist_vae_generator_score.py, which needs all
+    four attributes, not just a digit resample)."""
+
+    def __init__(self, rows):
+        self.rows = {k: torch.as_tensor(v) for k, v in rows.items()}
+
+    def sample(self, obs_in=None, n=None):
+        if n is None:
+            n = len(next(iter(obs_in.values())))
+        idx = torch.randint(0, len(self.rows["digit"]), (n,))
+        out = dict(obs_in or {})
+        for k, v in self.rows.items():
+            out[k] = v[idx]
+        return out
 '''
 
 
@@ -228,3 +246,194 @@ def test_bigan_cf_score_parity(pipelines):
         p["env"])
     our_acc = _parse_acc(our_out, "cf digit accuracy")
     assert abs(ref_acc - our_acc) < 0.05, (ref_acc, our_acc)
+
+
+@pytest.fixture(scope="module")
+def vae_pipeline(pipelines, tmp_path_factory):
+    """Train the reference VAE with its own torch code (verbatim under the
+    pyro shims — ``_CondTransformedDist`` makes ``MorphoMNISTVAE.elbo`` run
+    as written, ``deepscm_vae/mnist.py:121-133``), convert the checkpoint,
+    and build the joint-law stand-in graph the generator score needs."""
+    import torch
+
+    p = pipelines
+    data, models, ours, env = p["data"], p["models"], p["ours"], p["env"]
+
+    x_train = np.load(data / "mnist-x-train.npy")
+    a_train = np.load(data / "mnist-a-train.npy")
+    a_dict = {
+        "digit": torch.from_numpy(a_train[:, :10]).float(),
+        "thickness": torch.from_numpy(a_train[:, 10:11]).float(),
+        "intensity": torch.from_numpy(a_train[:, 11:12]).float(),
+        "slant": torch.from_numpy(a_train[:, 12:13]).float(),
+    }
+    xt = torch.from_numpy(x_train).float()
+
+    torch.manual_seed(2)
+    from deepscm_vae import mnist as ref_vae_mod  # noqa: E402
+
+    with contextlib.redirect_stdout(sys.stderr):
+        vae, _ = ref_vae_mod.train(
+            xt, a_dict, x_test=xt[:8],
+            a_test={k: v[:8] for k, v in a_dict.items()},
+            n_epochs=3, batch_size=64, save_images_every=None, device="cpu",
+        )
+    torch.save({"vae": vae}, models / "mnist-vae.tar")
+
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tools", "convert_reference_checkpoint.py"),
+         "--kind", "mnist-vae", "--input", str(models / "mnist-vae.tar"),
+         "--output", str(ours / "mnist-vae.tar"), "--data-dir", str(data)],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    # joint-law stand-in graph (digit as int index, continuous raw)
+    mod = __import__(STANDIN_MODULE)
+    rows = {
+        "digit": np.argmax(a_train[:, :10], axis=1).astype(np.int64),
+        "thickness": a_train[:, 10:11].astype(np.float32),
+        "intensity": a_train[:, 11:12].astype(np.float32),
+        "slant": a_train[:, 12:13].astype(np.float32),
+    }
+    graph = mod.EmpiricalJointGraph(rows)
+    torch.save({"graph": graph}, models / "mnist-attr-joint-ref.tar")
+    return p
+
+
+def test_vae_cf_score_parity(vae_pipeline):
+    """mnist_vae_score.py run verbatim on the reference VAE vs our script
+    on the converted checkpoint (VERDICT r3 item 5). The z draw differs in
+    law (the reference encoder.sample scales noise by the VARIANCE —
+    deepscm_vae/mnist.py:58-61 — ours scores from the posterior mean), so
+    agreement is bounded by that stochasticity plus binomial noise."""
+    p = vae_pipeline
+    ref_out = _run_reference_script(
+        "mnist_vae_score.py",
+        ["--data-dir", str(p["data"]),
+         "-m", str(p["models"] / "mnist-vae.tar"),
+         "-a", str(p["models"] / "mnist-attribute-scm-ref.tar"),
+         "-c", str(p["models"] / "mnist_clf.tar")],
+        cwd=str(p["models"]))
+    ref_acc = _parse_acc(ref_out, "Digit accuracy (test data w/ interventions)")
+
+    our_out = _our_script(
+        "mnist_vae_score.py",
+        ["--data-dir", str(p["data"]), "--model-dir", str(p["ours"]),
+         "--limit", "512"],
+        p["env"])
+    our_acc = _parse_acc(our_out, "vae cf digit accuracy")
+    assert abs(ref_acc - our_acc) < 0.06, (ref_acc, our_acc)
+
+
+def test_vae_generator_score_parity(vae_pipeline):
+    """mnist_vae_generator_score.py verbatim vs ours (VERDICT r3 item 5).
+    Both sides draw (z, attrs) fresh — the reference from the joint-law
+    stand-in, ours from the converted attribute SCM (same empirical law) —
+    so the comparison is between two Monte-Carlo estimates of the same
+    generated-digit accuracy through the bit-identical decoder+classifier."""
+    p = vae_pipeline
+    ref_out = _run_reference_script(
+        "mnist_vae_generator_score.py",
+        ["--data-dir", str(p["data"]),
+         "-m", str(p["models"] / "mnist-vae.tar"),
+         "-a", str(p["models"] / "mnist-attr-joint-ref.tar"),
+         "-c", str(p["models"] / "mnist_clf.tar"),
+         "-n", "2048"],
+        cwd=str(p["models"]))
+    ref_acc = _parse_acc(ref_out, "Digit accuracy (generated)")
+
+    our_out = _our_script(
+        "mnist_vae_generator_score.py",
+        ["--model-dir", str(p["ours"]), "--data-dir", str(p["data"]),
+         "-n", "2048"],
+        p["env"])
+    our_acc = _parse_acc(our_out, "vae generated-sample digit accuracy")
+    assert abs(ref_acc - our_acc) < 0.06, (ref_acc, our_acc)
+
+
+def _install_skimage_shim():
+    """The reference's morphometry imports scikit-image, absent from this
+    image. Back the two entry points it uses with our reimplementations so
+    the reference measurement code runs otherwise verbatim. NOTE the shared
+    oracle: both sides then use OUR medial_axis/pyramid — this test checks
+    every piece of measurement glue AROUND the skeleton primitive
+    (thickness/intensity/slant formulas, scaling, moments), not the
+    primitive itself (VERDICT r3 missing item 5's caveat stands until
+    scikit-image golden vectors can be captured)."""
+    import types
+
+    from imagecfgen_tpu.morphomnist import _skeletonize
+    from imagecfgen_tpu.morphomnist import morpho as our_morpho
+
+    sk = types.ModuleType("skimage")
+    sk_m = types.ModuleType("skimage.morphology")
+    sk_t = types.ModuleType("skimage.transform")
+    sk_m.medial_axis = _skeletonize.medial_axis
+    sk_t.pyramid_expand = (
+        lambda image, upscale=2, order=3, multichannel=False, **kw:
+        our_morpho.pyramid_expand(image, upscale, order))
+    sk.morphology, sk.transform = sk_m, sk_t
+    for name, m in (("skimage", sk), ("skimage.morphology", sk_m),
+                    ("skimage.transform", sk_t)):
+        sys.modules.setdefault(name, m)
+
+
+def test_measured_cf_measurement_parity(pipelines):
+    """Measurement-kernel parity for the measured-CF pipeline (VERDICT r3
+    item 5). The reference's mnist_gan_measured_cf.py cannot run verbatim
+    end-to-end: it crashes upstream (imports a GroundTruthCausalGraph that
+    does not exist in /root/reference/attribute_scms) — so this pins the
+    part that CAN be compared: its measurement kernel
+    ``extract_observed_attributes`` (mnist_gan_measured_cf.py:14-25),
+    loaded from the reference source and run on the same images as our
+    ``metrics.measured.measure_attributes``.
+
+    Known definitional deviations this asserts around:
+    - slant: the reference reports the raw horizontal shear (= tan(angle))
+      of the ORIGINAL image's moments; ours reports arctan(-shear) of the
+      hires image (the angle, which is what the SetSlant target is).
+      tan(ours) must match theirs.
+    - thickness: same formula; only binarisation edge effects may differ
+      (our pipeline clips cubic overshoot before rescaling, theirs does
+      not), so the tolerance is loose-ish but far below attribute spread.
+    - intensity: identical median-bright-pixel rule — must match exactly.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    _install_skimage_shim()
+
+    # the script's own `from attribute_scms.mnist import
+    # GroundTruthCausalGraph` names a class that does not exist in the
+    # reference tree (the upstream crash above); inject a placeholder so
+    # the module-level code past the import can run — only __main__ would
+    # ever touch it.
+    import attribute_scms.mnist as ref_attr_mnist
+
+    if not hasattr(ref_attr_mnist, "GroundTruthCausalGraph"):
+        ref_attr_mnist.GroundTruthCausalGraph = type(
+            "GroundTruthCausalGraph", (), {})
+
+    p = pipelines
+    old_argv = sys.argv
+    sys.argv = ["mnist_gan_measured_cf.py"]
+    try:
+        g = runpy.run_path(
+            os.path.join(REFERENCE, "mnist_gan_measured_cf.py"),
+            run_name="ref_measured_cf")
+    finally:
+        sys.argv = old_argv
+    extract = g["extract_observed_attributes"]
+
+    from imagecfgen_tpu.metrics.measured import measure_attributes
+
+    x_test = np.load(p["data"] / "mnist-x-test.npy").astype(np.float64)[:24]
+    ref_vals = np.stack([extract(img) for img in x_test])
+    our_vals = measure_attributes(x_test, scale=16)
+
+    d_thick = np.abs(ref_vals[:, 0] - our_vals[:, 0])
+    assert np.median(d_thick) < 0.05 and d_thick.max() < 0.2, d_thick
+    assert np.abs(ref_vals[:, 1] - our_vals[:, 1]).max() < 1e-9
+    d_slant = np.abs(ref_vals[:, 2] - np.tan(our_vals[:, 2]))
+    assert np.median(d_slant) < 0.02 and d_slant.max() < 0.1, d_slant

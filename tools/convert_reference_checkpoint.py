@@ -244,6 +244,27 @@ class _StubModule(__import__("types").ModuleType):
         return cls
 
 
+class _CondTransformedDist:
+    """Functional stand-in for pyro's ConditionalTransformedDistribution,
+    backed by torch.distributions: enough for the reference VAEs' elbo
+    (``/root/reference/deepscm_vae/mnist.py:121-133`` calls
+    ``self.dist.condition((z, c)).log_prob(x)``), so the reference VAE
+    training/eval code runs verbatim under these shims. Module-level so
+    reference checkpoints holding one (MorphoMNISTVAE pickles ``.dist``)
+    can round-trip through torch.save/load."""
+
+    def __init__(self, base_dist, transforms):
+        self.base_dist = base_dist
+        self.transforms = list(transforms)
+
+    def condition(self, context):
+        import torch
+
+        return torch.distributions.TransformedDistribution(
+            self.base_dist,
+            [t.condition(context) for t in self.transforms])
+
+
 class _PyroStubFinder:
     """sys.meta_path hook: any ``pyro[.sub.module]`` import materialises a
     ``_StubModule`` (checkpoints reference deep paths like
@@ -299,9 +320,7 @@ def _install_reference_shims(reference_path: str):
                 AffineTransform=torch.distributions.transforms.AffineTransform)
     pydc = shim("pyro.distributions.conditional", factory=_StubModule,
                 ConditionalTransform=type("ConditionalTransform", (), {}),
-                ConditionalTransformedDistribution=type(
-                    "ConditionalTransformedDistribution", (), {
-                        "__init__": lambda self, *a, **k: None}))
+                ConditionalTransformedDistribution=_CondTransformedDist)
     py.distributions = pyd
     pyd.transforms = pydt
     pyd.conditional = pydc
@@ -536,13 +555,16 @@ _VAE_FAMILIES = {
 
 
 def convert_vae(kind: str, path_in: str, path_out: str,
-                reference_path: str = DEFAULT_REFERENCE_PATH):
+                reference_path: str = DEFAULT_REFERENCE_PATH,
+                data_dir: str = ""):
     """Map a reference VAE onto {"params": {"encoder", "decoder"}}.
 
     Accepts either ``{'vae_state_dict': vae.state_dict()}`` (safe; keys are
     ``encoder.*`` / ``decoder.*``) or the reference's whole-module
-    ``{'vae': module}`` (requires unpickling pyro objects — works only
-    where pyro is installed; see module docstring)."""
+    ``{'vae': module}`` (runs under the pyro shims; see module docstring).
+    The mnist kind also stores the attribute scaler our score scripts read
+    (``mnist_vae_score.py`` loads ``tree["scaler"]``) — fitted from
+    ``data_dir`` like the BiGAN converter, identity bounds otherwise."""
     from imagecfgen_tpu.core.checkpoint import save_checkpoint
     from imagecfgen_tpu.models import vae as vae_mod
 
@@ -588,9 +610,25 @@ def convert_vae(kind: str, path_in: str, path_out: str,
             f"embed_{a}": np.asarray(dec[embed_keys(a)[1]]) for a in cat_names
         },
     }
-    save_checkpoint(path_out,
-                    {"params": {"encoder": params_enc, "decoder": params_dec}},
-                    meta={"kind": f"vae-{family}", "converted_from": path_in})
+    tree = {"params": {"encoder": params_enc, "decoder": params_dec}}
+    meta = {"kind": f"vae-{family}", "converted_from": path_in}
+    if family == "mnist":
+        from imagecfgen_tpu.core.attributes import MNIST_SPEC, AttributeScaler
+
+        meta["scaler_valid"] = bool(data_dir)
+        if data_dir:
+            from imagecfgen_tpu.data.mnist import load_mnist_arrays
+
+            _, attrs = load_mnist_arrays(data_dir, "train")
+            scaler = AttributeScaler.fit(MNIST_SPEC, attrs)
+        else:
+            cont = ("thickness", "intensity", "slant")
+            scaler = AttributeScaler(MNIST_SPEC, {k: 0.0 for k in cont},
+                                     {k: 1.0 for k in cont})
+            print("warning: no --data-dir; scaler saved with identity-ish "
+                  "bounds — refit before use (scaler_valid=false)")
+        tree["scaler"] = scaler.state_dict()
+    save_checkpoint(path_out, tree, meta=meta)
     print(f"wrote {path_out}")
 
 
@@ -875,7 +913,7 @@ if __name__ == "__main__":
                     help="reference sources for whole-module unpickling")
     args = ap.parse_args()
     kw = {"reference_path": args.reference_path}
-    if args.kind == "mnist-bigan":
+    if args.kind in ("mnist-bigan", "mnist-vae"):
         kw["data_dir"] = args.data_dir
     if args.kind in ("audio-bigan", "whale-bigan", "esrf-bigan",
                      "audio-clf", "whale-clf"):
