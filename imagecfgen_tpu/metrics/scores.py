@@ -47,10 +47,16 @@ def cf_effectiveness_score(
     rng,
     target_attr: str = "digit",
     mc_rounds: int = 1,
+    held_out_shift: Optional[Mapping[str, float]] = None,
 ) -> float:
     """Fraction of counterfactuals the classifier assigns to the intervened
     class. ``attrs`` in model convention (one-hot categoricals, raw units).
-    """
+
+    ``held_out_shift`` additionally intervenes each named continuous
+    attribute at (observed + shift) — a *compound* intervention whose
+    magnitudes push past the training range, so the render sits off the
+    data manifold and the metric leaves its saturated band (the hard
+    battery's de-saturation knob; VERDICT r3 item 9)."""
     total = 0.0
     for r in range(mc_rounds):
         k1, k2, rng = jax.random.split(rng, 3)
@@ -58,7 +64,11 @@ def cf_effectiveness_score(
         new_cls = resample_excluding(
             engine.scm.graph, engine.scm.params, engine.scm.state, k1, target_attr, obs
         )
-        x_cf, _ = engine.counterfactual(k2, x, attrs, {target_attr: new_cls})
+        iv = {target_attr: new_cls}
+        if held_out_shift:
+            for k, dv in held_out_shift.items():
+                iv[k] = jnp.asarray(obs[k]) + dv
+        x_cf, _ = engine.counterfactual(k2, x, attrs, iv)
         pred = jnp.argmax(classify_fn(x_cf), axis=-1)
         total += float((pred == new_cls).mean())
     return total / mc_rounds

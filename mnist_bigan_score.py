@@ -21,6 +21,13 @@ parser.add_argument("--batch-size", type=int, default=512)
 parser.add_argument("--mc-rounds", type=int, default=1)
 parser.add_argument("--limit", type=int, default=4096)
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--held-out-shift", nargs=3, type=float, default=None,
+                    metavar=("THICKNESS", "INTENSITY", "SLANT"),
+                    help="compound intervention: besides the digit swap, "
+                         "intervene each continuous attribute at "
+                         "(observed + shift) — magnitudes beyond the "
+                         "training range de-saturate the metric "
+                         "(hard-battery mode)")
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -67,8 +74,14 @@ if __name__ == "__main__":
         xb = jnp.asarray(x[i : i + args.batch_size])
         ab = {k: jnp.asarray(v[i : i + args.batch_size]) for k, v in attrs.items()}
         rng, k = jax.random.split(rng)
+        shift = None
+        if args.held_out_shift:
+            shift = dict(zip(("thickness", "intensity", "slant"),
+                             args.held_out_shift))
         scores.append(
-            cf_effectiveness_score(engine, clf_fn, xb, ab, k, mc_rounds=args.mc_rounds)
+            cf_effectiveness_score(engine, clf_fn, xb, ab, k,
+                                   mc_rounds=args.mc_rounds,
+                                   held_out_shift=shift)
         )
     print(f"cf digit accuracy: {float(np.mean(scores)):.4f}")
 

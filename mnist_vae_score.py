@@ -16,6 +16,12 @@ parser.add_argument("--classifier", "-c", type=str, default=None,
 parser.add_argument("--batch-size", type=int, default=512)
 parser.add_argument("--limit", type=int, default=4096)
 parser.add_argument("--seed", type=int, default=0)
+parser.add_argument("--held-out-shift", nargs=3, type=float, default=None,
+                    metavar=("THICKNESS", "INTENSITY", "SLANT"),
+                    help="compound intervention: besides the digit swap, "
+                         "shift each continuous attribute of the CF "
+                         "conditioning beyond the training range "
+                         "(hard-battery mode; mirrors mnist_bigan_score)")
 
 if __name__ == "__main__":
     args = parser.parse_args()
@@ -51,6 +57,10 @@ if __name__ == "__main__":
         mean, _ = model.encoder.apply({"params": vae_tree["params"]["encoder"]}, xb, a_scaled)
         cf_ab = dict(ab)
         cf_ab["digit"] = jax.nn.one_hot(new_digit, 10)
+        if args.held_out_shift:
+            for name, dv in zip(("thickness", "intensity", "slant"),
+                                args.held_out_shift):
+                cf_ab[name] = cf_ab[name] + dv
         return model.decoder.apply(
             {"params": vae_tree["params"]["decoder"]}, mean, scaler.scale(cf_ab)
         )

@@ -95,8 +95,16 @@ def test_c_counterfactual_figures(work):
 def test_d_scores(work):
     run(work, "mnist_bigan_score.py", "--data-dir", str(work),
         "--model-dir", str(work), "--limit", 8, "--mc-rounds", 1)
+    # hard-battery compound intervention path (digit swap + held-out
+    # continuous shifts; VERDICT r3 item 9)
+    run(work, "mnist_bigan_score.py", "--data-dir", str(work),
+        "--model-dir", str(work), "--limit", 8, "--mc-rounds", 1,
+        "--held-out-shift", 1.5, 32, 0.4)
     run(work, "mnist_vae_score.py", "--data-dir", str(work),
         "--model-dir", str(work), "--limit", 8)
+    run(work, "mnist_vae_score.py", "--data-dir", str(work),
+        "--model-dir", str(work), "--limit", 8,
+        "--held-out-shift", 1.5, 32, 0.4)
     run(work, "mnist_generator_score.py", "--model-dir", str(work), "--n", 8)
     run(work, "mnist_vae_generator_score.py", "--model-dir", str(work),
         "--n", 8)

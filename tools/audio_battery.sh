@@ -27,7 +27,9 @@ mkdir -p "$D"
 # watchdog's mid-run retries) cannot silently score a stale model.
 if [ "${RESUME:-0}" != "1" ]; then
   rm -f "$D"/audio-mnist-bigan.tar "$D"/audio-mnist-vae.tar \
-    "$D"/audio-mnist-clf*.tar "$D"/audio-attribute-scm.tar
+    "$D"/audio-mnist-clf*.tar "$D"/audio-attribute-scm.tar \
+    "$D"/audio-mnist-subject-clf.tar "$D"/*_cf_metric_mat.npy \
+    "$D"/*_int_metric_mat.npy
 fi
 
 # checkpoint only at the end: the raw d=64 BiGAN train state is ~0.5 GB in
@@ -54,3 +56,20 @@ python audiomnist_vae_score.py "${ZIPFLAG[@]}" --model-dir "$D" --mc-rounds 1
 echo "=== generator scores ==="
 python audiomnist_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024
 python audiomnist_vae_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024
+
+# --- identity preservation (VERDICT r3 item 2): the reference's headline
+# "subject identity survives the digit CF" evidence — the 60-way
+# subject-classifier metric (audiomnist_cf_classifier_metric.py:58-108)
+# and the per-subject manifold-distance ratio matrices
+# (audiomnist_cf_eval.py:56-137, *_cf_metric_mat.npy artifacts).
+echo "=== subject classifier (60-way, for identity metrics) ==="
+python train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute subject \
+  --epochs 30 --output-path "$D"
+echo "=== identity: subject-classifier accuracy after digit CF ==="
+python audiomnist_cf_classifier_metric.py "${ZIPFLAG[@]}" --model-dir "$D" \
+  --vae audio-mnist-vae.tar
+echo "=== identity: subject-manifold distance ratio matrices ==="
+$STAGE "$D/cf_eval_stage.log" -- \
+  python -u audiomnist_cf_eval.py "${ZIPFLAG[@]}" --model-dir "$D" \
+  --vae audio-mnist-vae.tar --out-dir "$D"
+tail -7 "$D/cf_eval_stage.log"
