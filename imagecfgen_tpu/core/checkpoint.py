@@ -23,6 +23,8 @@ import jax
 import numpy as np
 from flax import serialization
 
+from imagecfgen_tpu.utils.heartbeat import Heartbeat
+
 _MAGIC = b"ICFT"  # imagecfgen-tpu checkpoint
 _VERSION = 1
 
@@ -79,37 +81,14 @@ def fetch_tree(tree: Any, chunk_bytes: int = 32 << 20,
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-class _Heartbeat:
-    """Print a liveness line every ``interval`` seconds while a silent
-    CPU-bound phase runs. ``serialization.to_bytes`` of a multi-GB state
-    produces no log output and no process IO for minutes on this 1-core
-    host; the stage stall watchdog (tools/tpu_stage.sh) killed a healthy
-    8.3 GB ESRF checkpoint save exactly there — the heartbeat keeps the
-    log growing so only genuinely wedged processes get killed."""
+class _Heartbeat(Heartbeat):
+    """Checkpoint-prefixed liveness line while a silent CPU-bound phase
+    runs (flax serialize/parse of a multi-GB state; the stall watchdog
+    killed a healthy 8.3 GB ESRF save exactly there in round 3 — see
+    :mod:`imagecfgen_tpu.utils.heartbeat`)."""
 
     def __init__(self, label: str, interval: float = 60.0):
-        import threading
-
-        self._stop = threading.Event()
-        self._label = label
-        self._interval = interval
-        self._thread = threading.Thread(target=self._run, daemon=True)
-
-    def _run(self):
-        import time
-
-        t0 = time.monotonic()
-        while not self._stop.wait(self._interval):
-            print(f"[checkpoint] {self._label}... "
-                  f"{time.monotonic() - t0:.0f}s", flush=True)
-
-    def __enter__(self):
-        self._thread.start()
-        return self
-
-    def __exit__(self, *exc):
-        self._stop.set()
-        self._thread.join()
+        super().__init__(label, interval, prefix="checkpoint")
 
 
 def save_checkpoint(path: str, tree: Any, meta: Optional[Dict] = None) -> None:
@@ -168,18 +147,32 @@ def load_resume(path: str, template: Dict, rng_template: Any = None):
 def load_checkpoint(path: str, like: Any = None):
     """Read a checkpoint. With ``like`` (a template pytree) the result has
     the template's exact structure/dtypes; without it, returns the raw
-    nested dict/list structure."""
-    with open(path, "rb") as f:
+    nested dict/list structure.
+
+    Multi-GB loads get the same heartbeat as saves: ``msgpack_restore`` of
+    an 8.3 GB ESRF payload is minutes of silent CPU with no process IO
+    once the file is in page cache — exactly the signature the
+    tools/tpu_stage.sh stall watchdog kills (it killed a healthy ESRF
+    quality run there; the save side was fixed in round 3, the load side
+    is this)."""
+    verbose = os.path.getsize(path) >= (512 << 20)
+    if verbose:
+        print(f"[checkpoint] loading "
+              f"{os.path.getsize(path) / 2**20:.0f} MB from {path}",
+              flush=True)
+    with _Heartbeat("parsing"), open(path, "rb") as f:
         magic = f.read(4)
         if magic != _MAGIC:
             raise ValueError(f"{path}: not an imagecfgen-tpu checkpoint")
         version, meta_len = struct.unpack("<II", f.read(8))
         meta = json.loads(f.read(meta_len).decode("utf-8"))
         payload = f.read()
-    if like is not None:
-        tree = serialization.from_bytes(like, payload)
-    else:
-        tree = restore_sequences(serialization.msgpack_restore(payload))
+        if like is not None:
+            tree = serialization.from_bytes(like, payload)
+        else:
+            tree = restore_sequences(serialization.msgpack_restore(payload))
+    if verbose:
+        print(f"[checkpoint] loaded {path}", flush=True)
     return tree, meta
 
 

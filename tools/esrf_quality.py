@@ -96,15 +96,24 @@ if __name__ == "__main__":
 
     cf_dist_scaled = 2 * args.cf_distance / 100.0 - 1.0
     mses, ssims, add_r, rem_r, add_c, rem_c = [], [], [], [], [], []
-    for batch in data.stream(batch_size=args.batch_size, mode="validation",
-                             shuffle=False):
-        mse, ss, rr, rc, cur = eval_batch(
-            jnp.asarray(batch["audio"]), jnp.asarray(batch["has_boat"]),
-            jnp.asarray(batch["closest_boat"]), cf_dist_scaled)
-        mse, ss, rr, rc, cur = map(np.asarray, (mse, ss, rr, rc, cur))
-        mses.append(mse); ssims.append(ss)
-        add_r.append(rr[cur == 0]); rem_r.append(rr[cur == 1])
-        add_c.append(rc[cur == 0]); rem_c.append(rc[cur == 1])
+    # the first eval_batch call uploads ~4 GB of params and compiles the
+    # 512^2 E+G+SSIM graph — a silent server-side RPC of many minutes that
+    # the stage watchdog would kill without a liveness line
+    from imagecfgen_tpu.utils.heartbeat import Heartbeat
+
+    done = 0
+    with Heartbeat("esrf eval (upload/compile/batches)", prefix="esrf"):
+        for batch in data.stream(batch_size=args.batch_size,
+                                 mode="validation", shuffle=False):
+            mse, ss, rr, rc, cur = eval_batch(
+                jnp.asarray(batch["audio"]), jnp.asarray(batch["has_boat"]),
+                jnp.asarray(batch["closest_boat"]), cf_dist_scaled)
+            mse, ss, rr, rc, cur = map(np.asarray, (mse, ss, rr, rc, cur))
+            mses.append(mse); ssims.append(ss)
+            add_r.append(rr[cur == 0]); rem_r.append(rr[cur == 1])
+            add_c.append(rc[cur == 0]); rem_c.append(rc[cur == 1])
+            done += len(mse)
+            print(f"[esrf] {done} windows scored", flush=True)
 
     all_mse = np.concatenate(mses)
     mse = float(np.mean(all_mse))
