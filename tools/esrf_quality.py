@@ -62,7 +62,24 @@ if __name__ == "__main__":
     tree, meta = load_checkpoint(os.path.join(args.model_dir, args.bigan))
     stats = SpectStats(jnp.asarray(tree["spect_mean"]), jnp.asarray(tree["spect_std"]))
     model = BiGAN(esrf_bigan_config(d=meta.get("d", 64)))
-    pE, pG = tree["params_E"], tree["params_G"]
+
+    def put_tree(label, t):
+        """Upload leaf-by-leaf with progress: one lazy bulk upload of the
+        ~2 GB E+G params inside the first jitted call stalls the axon
+        relay the same way round 3's monolithic device_get did; explicit
+        per-leaf puts stream in relay-sized pieces and make a wedge
+        attributable to a specific leaf."""
+        leaves, treedef = jax.tree_util.tree_flatten(t)
+        out, sent = [], 0
+        for leaf in leaves:
+            out.append(jax.device_put(leaf))
+            out[-1].block_until_ready()
+            sent += leaf.nbytes if hasattr(leaf, "nbytes") else 0
+            print(f"[esrf] upload {label}: {sent / 2**20:.0f} MB", flush=True)
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    pE = put_tree("params_E", tree["params_E"])
+    pG = put_tree("params_G", tree["params_G"])
 
     def encode_generate(img, attrs):
         z = model.encoder.apply({"params": pE}, img, attrs)
