@@ -9,11 +9,15 @@ the metadata (spanien->spain, german/spanish->german, age>100 -> 28),
 one-hot the 5 categorical features, uniformly 5-bin the age, and stream
 batches with run/subject exclusion.
 
-TPU-first: ``stream`` yields raw (host) arrays; the log-spectrogram
-transform is a jitted device function (``spectrogram_batch``), so the STFT
-runs on-device fused with normalisation instead of per-batch host work
-(SURVEY §3.4). A deterministic synthetic generator stands in when the real
-zip is absent (this image has no data / egress).
+TPU-first: the log-spectrogram transform is a jitted XLA function
+(``spectrogram_batch``) rather than the reference's per-item torchaudio
+host loop (SURVEY §3.4). Loader batches execute it on the host CPU
+backend (``ops/stft.py::host_prep``) — it is data prep whose output is
+immediately fetched to numpy, so keeping it off the accelerator avoids a
+device->host round-trip per batch; trainers that want the STFT fused
+on-device apply ``spectrogram_batch`` inside their own jitted programs.
+A deterministic synthetic generator stands in when the real zip is
+absent (this image has no data / egress).
 """
 from __future__ import annotations
 
@@ -27,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.stft import StftConfig, griffin_lim, spectrogram
+from ..ops.stft import StftConfig, griffin_lim, host_prep, spectrogram
 
 # train/val split used by the image-SCM training code
 # (image_scms/audio_mnist.py:18)
@@ -333,7 +337,7 @@ class AudioMNISTData:
             batch.update(self.encode_attrs(sel))
             audio = self.raw["audio"][sel]
             batch["audio"] = (
-                np.asarray(spectrogram_batch(jnp.asarray(audio))) if transform else audio
+                host_prep(spectrogram_batch, audio) if transform else audio
             )
             yield batch
 
@@ -349,5 +353,5 @@ class AudioMNISTData:
         outs = []
         for i in range(0, len(idx), batch_size):
             sel = idx[i : i + batch_size]
-            outs.append(np.asarray(spectrogram_batch(jnp.asarray(self.raw["audio"][sel]))))
+            outs.append(host_prep(spectrogram_batch, self.raw["audio"][sel]))
         return np.concatenate(outs, axis=0), self.encode_attrs(idx), idx

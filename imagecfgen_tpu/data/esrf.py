@@ -8,7 +8,10 @@ path cap, seeded path-level
 train/validation split, random 5-second windows (10 per boat-positive
 recording, 1 otherwise), and the
 ``Spectrogram(n_fft=1023, win_length=256, hop_length=79, pad=200)`` ->
-512^2 log images, computed on device. ``closest_boat`` is scaled
+512^2 log images, computed as jitted XLA on the host CPU backend
+(``ops/stft.py::host_prep`` — 16 MB per batch of 16 fetched straight
+back to numpy must not cross the device tunnel). ``closest_boat`` is
+scaled
 ``2*d/100 - 1`` at transform time (``esrf_acoustic.py:124``).
 
 Synthetic fallback: ship-noise-like low-frequency rumble whose amplitude
@@ -25,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.stft import StftConfig, griffin_lim, spectrogram
+from ..ops.stft import StftConfig, griffin_lim, host_prep, spectrogram
 
 ESRF_STFT = StftConfig(n_fft=1023, win_length=256, hop_length=79, pad=200)
 ESRF_GL_STFT = StftConfig(n_fft=1023, win_length=256, hop_length=79, pad=0)
@@ -150,7 +153,7 @@ class EsrfStation:
                 "start_idx": np.asarray(buf["start_idx"], np.float32),
             }
             if transform:
-                out["audio"] = np.asarray(esrf_spectrogram_batch(jnp.asarray(audio)))
+                out["audio"] = host_prep(esrf_spectrogram_batch, audio)
                 out["closest_boat"] = 2 * out["closest_boat"] / 100.0 - 1.0
             else:
                 out["audio"] = audio

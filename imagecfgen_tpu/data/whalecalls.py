@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.stft import StftConfig, griffin_lim, spectrogram
+from ..ops.stft import StftConfig, griffin_lim, host_prep, spectrogram
 
 WHALE_STFT = StftConfig(n_fft=511, win_length=128, hop_length=24, pad=64)
 WHALE_GL_STFT = StftConfig(n_fft=511, win_length=128, hop_length=24, pad=0)
@@ -204,7 +204,7 @@ class WhaleCallData:
                     "call_type": np.eye(3, dtype=np.float32)[labels[sel]],
                     "path": np.asarray(["synthetic"] * len(sel)),
                     "time": np.zeros((len(sel), 2), np.float32),
-                    "audio": np.asarray(whale_spectrogram_batch(jnp.asarray(audio)))
+                    "audio": host_prep(whale_spectrogram_batch, audio)
                     if transform else audio,
                 }
                 yield batch
@@ -244,6 +244,6 @@ class WhaleCallData:
             "call_type": np.stack(buf["call_type"], axis=0),
             "path": np.asarray(buf["path"]),
             "time": np.asarray(buf["time"], np.float32),
-            "audio": np.asarray(whale_spectrogram_batch(jnp.asarray(audio)))
+            "audio": host_prep(whale_spectrogram_batch, audio)
             if transform else audio,
         }

@@ -28,6 +28,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def host_prep(fn, audio: np.ndarray, *args) -> np.ndarray:
+    """Run a loader's spectrogram transform on the host CPU backend.
+
+    Loader STFTs are data *preparation*: their output is immediately
+    fetched back to host numpy to assemble batches. Executing them on
+    the default accelerator round-trips every spectrogram batch through
+    device->host — over the axon tunnel that leg runs at ~KB/s and
+    dominated the ESRF 512^2 eval wall-clock (16 MB per batch of 16).
+    The CPU backend coexists with the TPU plugin, so prep runs there;
+    if it is unavailable, fall back to the default device.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return np.asarray(fn(jnp.asarray(audio), *args))
+    with jax.default_device(cpu):
+        return np.asarray(fn(jnp.asarray(audio), *args))
+
+
 def hann_window(win_length: int, periodic: bool = True) -> jnp.ndarray:
     n = win_length + 1 if periodic else win_length
     w = 0.5 * (1.0 - jnp.cos(2.0 * jnp.pi * jnp.arange(n) / (n - 1)))

@@ -81,41 +81,68 @@ if __name__ == "__main__":
     pE = put_tree("params_E", tree["params_E"])
     pG = put_tree("params_G", tree["params_G"])
 
-    def encode_generate(img, attrs):
-        z = model.encoder.apply({"params": pE}, img, attrs)
-        return z, model.generator.apply({"params": pG}, z, attrs)
-
     def band_energy(spect, rows):
         """Mean linear-magnitude energy of STFT rows [rows[0], rows[1])."""
         mag = jnp.exp(spect[:, rows[0]:rows[1], :, 0])
         return (mag ** 2).mean(axis=(1, 2))
 
+    # The eval is deliberately SPLIT into four small jitted programs
+    # instead of one fused graph: with the axon PJRT plugin every compile
+    # is one long-held server-side ``remote_compile`` HTTP RPC, and the
+    # fused 512^2 E+G+G+SSIM+STFT-stats graph's RPC broke with
+    # "Broken pipe" at ~25-30 min on three consecutive attempts. Each
+    # split piece compiles in minutes and the generator program is reused
+    # for both the reconstruction and the counterfactual pass. XLA loses
+    # cross-stage fusion, but eval is a few dozen batches — compile
+    # robustness dominates.
     @jax.jit
-    def eval_batch(spect, has_boat, dist_scaled, cf_dist_scaled):
-        img = stats.spect_to_img(spect)[..., None] if spect.ndim == 3 else spect
+    def prep(spect):
+        return stats.spect_to_img(spect)[..., None]
+
+    @jax.jit
+    def encode(img, has_boat, dist_scaled):
         attrs = {"has_boat": has_boat, "closest_boat": dist_scaled}
-        z, rec = encode_generate(img, attrs)
+        return model.encoder.apply({"params": pE}, img, attrs)
+
+    @jax.jit
+    def generate(z, has_boat, dist_scaled):
+        attrs = {"has_boat": has_boat, "closest_boat": dist_scaled}
+        return model.generator.apply({"params": pG}, z, attrs)
+
+    @jax.jit
+    def recon_metrics(rec, img):
         mse = ((rec - img) ** 2).mean(axis=(1, 2, 3))
         ss = ssim(rec, img, data_range=2.0, size_average=False)
+        return mse, ss
 
-        # intervene: flip has_boat for every window
-        cur = jnp.argmax(has_boat, axis=1)           # 1 = boat present
-        cf_flag = jax.nn.one_hot(1 - cur, 2)
-        cf_d = jnp.where(cur == 0, cf_dist_scaled, -1.0)  # add boat at cf_dist / remove boat
-        cf = model.generator.apply(
-            {"params": pG}, z, {"has_boat": cf_flag, "closest_boat": cf_d})
-
+    @jax.jit
+    def band_ratios(cf, img):
         orig_spect = stats.img_to_spect(img[..., 0])[..., None]
         cf_spect = stats.img_to_spect(cf[..., 0])[..., None]
         ratio_r = band_energy(cf_spect, RUMBLE_ROWS) / band_energy(orig_spect, RUMBLE_ROWS)
         ratio_c = band_energy(cf_spect, CONTROL_ROWS) / band_energy(orig_spect, CONTROL_ROWS)
+        return ratio_r, ratio_c
+
+    def eval_batch(spect, has_boat_np, dist_scaled, cf_dist_scaled):
+        img = prep(spect) if spect.ndim == 3 else spect
+        has_boat = jnp.asarray(has_boat_np)
+        z = encode(img, has_boat, dist_scaled)
+        rec = generate(z, has_boat, dist_scaled)
+        mse, ss = recon_metrics(rec, img)
+        # intervene: flip has_boat for every window (host-side flag math)
+        cur = np.argmax(has_boat_np, axis=1)          # 1 = boat present
+        cf_flag = np.eye(2, dtype=np.float32)[1 - cur]
+        # add boat at cf_dist / remove boat
+        cf_d = np.where(cur == 0, cf_dist_scaled, -1.0).astype(np.float32)
+        cf = generate(z, jnp.asarray(cf_flag), jnp.asarray(cf_d))
+        ratio_r, ratio_c = band_ratios(cf, img)
         return mse, ss, ratio_r, ratio_c, cur
 
     cf_dist_scaled = 2 * args.cf_distance / 100.0 - 1.0
     mses, ssims, add_r, rem_r, add_c, rem_c = [], [], [], [], [], []
-    # the first eval_batch call uploads ~4 GB of params and compiles the
-    # 512^2 E+G+SSIM graph — a silent server-side RPC of many minutes that
-    # the stage watchdog would kill without a liveness line
+    # the first eval_batch call compiles the split 512^2 programs —
+    # silent server-side RPCs of minutes each that the stage watchdog
+    # would kill without a liveness line
     from imagecfgen_tpu.utils.heartbeat import Heartbeat
 
     done = 0
@@ -123,7 +150,7 @@ if __name__ == "__main__":
         for batch in data.stream(batch_size=args.batch_size,
                                  mode="validation", shuffle=False):
             mse, ss, rr, rc, cur = eval_batch(
-                jnp.asarray(batch["audio"]), jnp.asarray(batch["has_boat"]),
+                jnp.asarray(batch["audio"]), np.asarray(batch["has_boat"]),
                 jnp.asarray(batch["closest_boat"]), cf_dist_scaled)
             mse, ss, rr, rc, cur = map(np.asarray, (mse, ss, rr, rc, cur))
             mses.append(mse); ssims.append(ss)
