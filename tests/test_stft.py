@@ -284,3 +284,19 @@ def test_resample_preserves_tone():
     spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
     peak_hz = np.argmax(spec) * 8000 / len(y)
     assert abs(peak_hz - 440) < 2, peak_hz
+
+
+def test_host_prep_matches_direct_call():
+    """host_prep (the loader data-prep path that pins spectrogram batches
+    to the host CPU backend, ops/stft.py::host_prep) must be a pure
+    placement decision: identical values to calling the transform on the
+    default device, returned as host numpy."""
+    from imagecfgen_tpu.ops.stft import host_prep
+
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal((2, 8000)).astype(np.float32)
+    fn = jax.jit(lambda a: spectrogram(a, AUDIO_CFG))
+    direct = np.asarray(fn(jnp.asarray(audio)))
+    prepped = host_prep(fn, audio)
+    assert isinstance(prepped, np.ndarray)
+    np.testing.assert_array_equal(prepped, direct)
