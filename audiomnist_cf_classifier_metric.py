@@ -45,13 +45,18 @@ if __name__ == "__main__":
     if args.vae:
         from imagecfgen_tpu.models.vae import ConditionalVAE, audio_mnist_vae_config
 
-        vtree, _ = load_checkpoint(os.path.join(args.model_dir, args.vae))
-        vae_bundle = (ConditionalVAE(audio_mnist_vae_config()), vtree["params"])
+        vtree, vmeta = load_checkpoint(os.path.join(args.model_dir, args.vae))
+        vae_bundle = (ConditionalVAE(audio_mnist_vae_config(d=vmeta.get("d", 64))), vtree["params"])
+
+    # normalise on the host CPU backend: doing it on the accelerator would
+    # fetch the whole validation split back through the tunnel's ~24 KB/s
+    # device->host leg
+    from imagecfgen_tpu.ops.stft import host_prep
 
     spects, attrs, idx = data.all_spectrograms(
         excluded_runs=data.validation_excluded_runs
     )
-    x_all = np.asarray(stats.spect_to_img(jnp.asarray(spects)))[..., None]
+    x_all = host_prep(stats.spect_to_img, spects)[..., None]
     subjects = data.raw["subject"][idx] - 1
     digits = attrs["digit"].argmax(axis=1)
 
@@ -61,32 +66,49 @@ if __name__ == "__main__":
     hits = {m: [0, 0] for m in list(models) + (["vae"] if vae_bundle else []) + ["bigan_int"]}
     rng = jax.random.PRNGKey(args.seed)
 
-    for d in range(10):
-        nd = digits != d
-        xb = jnp.asarray(x_all[nd])
-        ab = {k: jnp.asarray(v[nd]) for k, v in attrs.items()}
-        subj = jnp.asarray(subjects[nd])
-        cf_a = dict(ab)
-        cf_a["digit"] = jnp.zeros_like(ab["digit"]).at[:, d].set(1.0)
+    # fixed-size padded chunks: one digit's counterfactual set is the
+    # whole validation split minus one digit (~90%), far past the 128^2
+    # models' activation budget in a single batch; padding the tail keeps
+    # every call the same shape (one compile per program)
+    CHUNK = 256
 
-        for m, (pE, pG) in models.items():
-            cf = G_apply(pG, E_apply(pE, xb, ab), cf_a)
-            pred = jnp.argmax(clf_fn(cf), axis=1)
-            hits[m][0] += int((pred == subj).sum())
-            hits[m][1] += len(xb)
-        rng, kz = jax.random.split(rng)
-        z = jax.random.normal(kz, (xb.shape[0], 1, 1, 512))
-        cf = G_apply(models["bigan"][1], z, cf_a)
-        pred = jnp.argmax(clf_fn(cf), axis=1)
-        hits["bigan_int"][0] += int((pred == subj).sum())
-        hits["bigan_int"][1] += len(xb)
-        if vae_bundle:
-            vm, vp = vae_bundle
-            mean, _ = vm.encoder.apply({"params": vp["encoder"]}, xb, ab)
-            cf = vm.decoder.apply({"params": vp["decoder"]}, mean, cf_a)
-            pred = jnp.argmax(clf_fn(cf), axis=1)
-            hits["vae"][0] += int((pred == subj).sum())
-            hits["vae"][1] += len(xb)
+    def padded_chunks(mask):
+        (rows,) = np.nonzero(mask)
+        for i in range(0, len(rows), CHUNK):
+            sel = rows[i : i + CHUNK]
+            pad = CHUNK - len(sel)
+            yield np.concatenate([sel, np.repeat(sel[-1:], pad)]), len(sel)
+
+    if vae_bundle:
+        vm, vp = vae_bundle
+        vae_enc = jax.jit(lambda x, a: vm.encoder.apply({"params": vp["encoder"]}, x, a)[0])
+        vae_dec = jax.jit(lambda z, a: vm.decoder.apply({"params": vp["decoder"]}, z, a))
+
+    for d in range(10):
+        for sel, n in padded_chunks(digits != d):
+            xb = jnp.asarray(x_all[sel])
+            ab = {k: jnp.asarray(v[sel]) for k, v in attrs.items()}
+            subj = subjects[sel]
+            cf_a = dict(ab)
+            cf_a["digit"] = jnp.zeros_like(ab["digit"]).at[:, d].set(1.0)
+
+            for m, (pE, pG) in models.items():
+                cf = G_apply(pG, E_apply(pE, xb, ab), cf_a)
+                pred = np.asarray(jnp.argmax(clf_fn(cf), axis=1))
+                hits[m][0] += int((pred[:n] == subj[:n]).sum())
+                hits[m][1] += n
+            rng, kz = jax.random.split(rng)
+            z = jax.random.normal(kz, (CHUNK, 1, 1, 512))
+            cf = G_apply(models["bigan"][1], z, cf_a)
+            pred = np.asarray(jnp.argmax(clf_fn(cf), axis=1))
+            hits["bigan_int"][0] += int((pred[:n] == subj[:n]).sum())
+            hits["bigan_int"][1] += n
+            if vae_bundle:
+                cf = vae_dec(vae_enc(xb, ab), cf_a)
+                pred = np.asarray(jnp.argmax(clf_fn(cf), axis=1))
+                hits["vae"][0] += int((pred[:n] == subj[:n]).sum())
+                hits["vae"][1] += n
+        print(f"digit {d} done", flush=True)
 
     for m, (c, t) in hits.items():
         print(f"{m}: subject-identity accuracy after digit CF = {c / max(t, 1):.4f}")

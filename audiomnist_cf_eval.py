@@ -49,15 +49,19 @@ if __name__ == "__main__":
         from imagecfgen_tpu.core.checkpoint import load_checkpoint
         from imagecfgen_tpu.models.vae import ConditionalVAE, audio_mnist_vae_config
 
-        vtree, _ = load_checkpoint(os.path.join(args.model_dir, args.vae))
-        vae_model = ConditionalVAE(audio_mnist_vae_config())
+        vtree, vmeta = load_checkpoint(os.path.join(args.model_dir, args.vae))
+        vae_model = ConditionalVAE(audio_mnist_vae_config(d=vmeta.get("d", 64)))
         vae_bundle = (vae_model, vtree["params"])
 
-    # validation split, spectrograms normalised once
+    # validation split, spectrograms normalised once — on the host CPU
+    # backend: normalising on the accelerator would fetch the whole split
+    # (tens of MB) back through the tunnel's ~24 KB/s device->host leg
+    from imagecfgen_tpu.ops.stft import host_prep
+
     spects, attrs, idx = data.all_spectrograms(
         excluded_runs=data.validation_excluded_runs
     )
-    x_all = np.asarray(stats.spect_to_img(jnp.asarray(spects)))[..., None]
+    x_all = host_prep(stats.spect_to_img, spects)[..., None]
     subjects = data.raw["subject"][idx]
     digits = attrs["digit"].argmax(axis=1)
     n_subj = int(subjects.max())

@@ -36,7 +36,7 @@ if __name__ == "__main__":
     from imagecfgen_tpu.models.vae import ConditionalVAE, audio_mnist_vae_config
     from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
 
-    vtree, _ = load_checkpoint(args.image_model or os.path.join(args.model_dir, "audio-mnist-vae.tar"))
+    vtree, vmeta = load_checkpoint(args.image_model or os.path.join(args.model_dir, "audio-mnist-vae.tar"))
     scm = load_audio_scm(args.attribute_model or os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
     ctree, _ = load_checkpoint(
         {"digit": args.digit_clf, "gender": args.gender_clf, "accent": args.accent_clf}.get(args.attribute)
@@ -44,7 +44,7 @@ if __name__ == "__main__":
     )
     clf = CNNClassifier(audio_mnist_classifier_config(CARDINALITIES[args.attribute]))
     clf_fn = jax.jit(lambda im: clf.apply({"params": ctree["params"]}, im))
-    model = ConditionalVAE(audio_mnist_vae_config())
+    model = ConditionalVAE(audio_mnist_vae_config(d=vmeta.get("d", 64)))
     dec = jax.jit(
         lambda z, a: model.decoder.apply({"params": vtree["params"]["decoder"]}, z, a)
     )

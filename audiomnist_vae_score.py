@@ -38,7 +38,7 @@ if __name__ == "__main__":
     from imagecfgen_tpu.scm.audio_mnist import CARDINALITIES
 
     data = load_audio_dataset(args.zip_path)
-    vtree, _ = load_checkpoint(args.image_model or os.path.join(args.model_dir, "audio-mnist-vae.tar"))
+    vtree, vmeta = load_checkpoint(args.image_model or os.path.join(args.model_dir, "audio-mnist-vae.tar"))
     stats = SpectStats(jnp.asarray(vtree["spect_mean"]), jnp.asarray(vtree["spect_std"]))
     scm = load_audio_scm(args.attribute_model or os.path.join(args.model_dir, "audio-mnist-attribute-scm.tar"))
     ctree, cmeta = load_checkpoint(
@@ -48,7 +48,7 @@ if __name__ == "__main__":
     clf = CNNClassifier(audio_mnist_classifier_config(
         CARDINALITIES[args.attribute], width=cmeta.get("width", 1.0)))
     clf_fn = jax.jit(lambda im: clf.apply({"params": ctree["params"]}, im))
-    model = ConditionalVAE(audio_mnist_vae_config())
+    model = ConditionalVAE(audio_mnist_vae_config(d=vmeta.get("d", 64)))
 
     spects, attrs, _ = data.all_spectrograms(
         excluded_runs=data.validation_excluded_runs

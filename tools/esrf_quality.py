@@ -95,19 +95,26 @@ if __name__ == "__main__":
     # for both the reconstruction and the counterfactual pass. XLA loses
     # cross-stage fusion, but eval is a few dozen batches — compile
     # robustness dominates.
+    #
+    # CRITICAL: the params must be jit *arguments*, never closures. A
+    # closed-over param tree is lowered into the HLO as embedded
+    # constants, so the remote_compile RPC payload carries the ~2 GB of
+    # E+G weights — that RPC broke with "Broken pipe" at ~25 min on five
+    # consecutive attempts. As arguments the weights stay on the device
+    # (they were streamed up leaf-by-leaf above) and the HLO is a few MB.
     @jax.jit
     def prep(spect):
         return stats.spect_to_img(spect)[..., None]
 
     @jax.jit
-    def encode(img, has_boat, dist_scaled):
+    def encode(p, img, has_boat, dist_scaled):
         attrs = {"has_boat": has_boat, "closest_boat": dist_scaled}
-        return model.encoder.apply({"params": pE}, img, attrs)
+        return model.encoder.apply({"params": p}, img, attrs)
 
     @jax.jit
-    def generate(z, has_boat, dist_scaled):
+    def generate(p, z, has_boat, dist_scaled):
         attrs = {"has_boat": has_boat, "closest_boat": dist_scaled}
-        return model.generator.apply({"params": pG}, z, attrs)
+        return model.generator.apply({"params": p}, z, attrs)
 
     @jax.jit
     def recon_metrics(rec, img):
@@ -126,15 +133,15 @@ if __name__ == "__main__":
     def eval_batch(spect, has_boat_np, dist_scaled, cf_dist_scaled):
         img = prep(spect) if spect.ndim == 3 else spect
         has_boat = jnp.asarray(has_boat_np)
-        z = encode(img, has_boat, dist_scaled)
-        rec = generate(z, has_boat, dist_scaled)
+        z = encode(pE, img, has_boat, dist_scaled)
+        rec = generate(pG, z, has_boat, dist_scaled)
         mse, ss = recon_metrics(rec, img)
         # intervene: flip has_boat for every window (host-side flag math)
         cur = np.argmax(has_boat_np, axis=1)          # 1 = boat present
         cf_flag = np.eye(2, dtype=np.float32)[1 - cur]
         # add boat at cf_dist / remove boat
         cf_d = np.where(cur == 0, cf_dist_scaled, -1.0).astype(np.float32)
-        cf = generate(z, jnp.asarray(cf_flag), jnp.asarray(cf_d))
+        cf = generate(pG, z, jnp.asarray(cf_flag), jnp.asarray(cf_d))
         ratio_r, ratio_c = band_ratios(cf, img)
         return mse, ss, ratio_r, ratio_c, cur
 

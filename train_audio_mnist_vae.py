@@ -111,7 +111,7 @@ if __name__ == "__main__":
                     "spect_std": np.asarray(stats.std),
                 },
                 meta={"kind": "vae-audio-mnist", "epoch": epoch + 1,
-                      "carries_rng": True},
+                      "d": args.d, "carries_rng": True},
             )
     print(f"saved {out}")
 
