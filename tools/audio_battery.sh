@@ -19,6 +19,13 @@ VAE_EPOCHS=${VAE_EPOCHS:-100}
 # cadence of progress
 CKPT_EVERY=${CKPT_EVERY:-300}
 STAGE="bash tools/tpu_stage.sh"
+# INIT_STD=0.01 is the documented deviation (train_audio_mnist_bigan.py
+# --init-std) that skips the reference init's ~20k-step D=0.5 incubation;
+# with it, EPOCHS=1200 gives the same *effective* (post-incubation) step
+# count as the reference-exact EPOCHS=2400 run. Leave unset for the
+# reference-exact init.
+INIT_FLAG=()
+[ -n "${INIT_STD:-}" ] && INIT_FLAG=(--init-std "$INIT_STD")
 ZIPFLAG=()
 [ -n "$ZIP" ] && ZIPFLAG=(--zip-path "$ZIP")
 mkdir -p "$D"
@@ -37,7 +44,8 @@ fi
 # states + spect stats); this host serializes on one core, so periodic saves
 # would dominate wall time. The same applies to the VAE below.
 $STAGE "$D/bigan_stage.log" -- \
-  python -u train_audio_mnist_bigan.py "${ZIPFLAG[@]}" --steps "$EPOCHS" \
+  python -u train_audio_mnist_bigan.py "${ZIPFLAG[@]}" "${INIT_FLAG[@]}" \
+  --steps "$EPOCHS" \
   --checkpoint-every "$CKPT_EVERY" --output-path "$D" --resume
 tail -3 "$D/bigan_stage.log"
 python train_audio_mnist_attribute_scm.py "${ZIPFLAG[@]}" --steps 2000 \
