@@ -35,18 +35,26 @@ if __name__ == "__main__":
 
     ctree, cmeta = load_checkpoint(os.path.join(args.model_dir, args.subject_clf))
     sclf = CNNClassifier(audio_mnist_classifier_config(60, width=cmeta.get("width", 1.0)))
-    clf_fn = jax.jit(lambda im: sclf.apply({"params": ctree["params"]}, im))
+    # params are jit ARGUMENTS, uploaded once: a closed-over tree would be
+    # lowered into the HLO as constants and carried by the remote_compile
+    # RPC (the ESRF 512^2 "Broken pipe" failure mode), and a host numpy
+    # tree passed per call would re-upload every chunk.
+    clf_p = jax.device_put(ctree["params"])
+    clf_fn = jax.jit(lambda p, im: sclf.apply({"params": p}, im))
 
-    models = {"bigan": (tree["params_E"], tree["params_G"])}
+    models = {"bigan": (jax.device_put(tree["params_E"]),
+                        jax.device_put(tree["params_G"]))}
     if args.bigan_ft:
         ft_tree, _, _ = load_audio_bigan(os.path.join(args.model_dir, args.bigan_ft))
-        models["bigan_ft"] = (ft_tree["params_E"], ft_tree["params_G"])
+        models["bigan_ft"] = (jax.device_put(ft_tree["params_E"]),
+                              jax.device_put(ft_tree["params_G"]))
     vae_bundle = None
     if args.vae:
         from imagecfgen_tpu.models.vae import ConditionalVAE, audio_mnist_vae_config
 
         vtree, vmeta = load_checkpoint(os.path.join(args.model_dir, args.vae))
-        vae_bundle = (ConditionalVAE(audio_mnist_vae_config(d=vmeta.get("d", 64))), vtree["params"])
+        vae_bundle = (ConditionalVAE(audio_mnist_vae_config(d=vmeta.get("d", 64))),
+                      jax.device_put(vtree["params"]))
 
     # normalise on the host CPU backend: doing it on the accelerator would
     # fetch the whole validation split back through the tunnel's ~24 KB/s
@@ -81,8 +89,8 @@ if __name__ == "__main__":
 
     if vae_bundle:
         vm, vp = vae_bundle
-        vae_enc = jax.jit(lambda x, a: vm.encoder.apply({"params": vp["encoder"]}, x, a)[0])
-        vae_dec = jax.jit(lambda z, a: vm.decoder.apply({"params": vp["decoder"]}, z, a))
+        vae_enc = jax.jit(lambda p, x, a: vm.encoder.apply({"params": p}, x, a)[0])
+        vae_dec = jax.jit(lambda p, z, a: vm.decoder.apply({"params": p}, z, a))
 
     for d in range(10):
         for sel, n in padded_chunks(digits != d):
@@ -94,18 +102,18 @@ if __name__ == "__main__":
 
             for m, (pE, pG) in models.items():
                 cf = G_apply(pG, E_apply(pE, xb, ab), cf_a)
-                pred = np.asarray(jnp.argmax(clf_fn(cf), axis=1))
+                pred = np.asarray(jnp.argmax(clf_fn(clf_p, cf), axis=1))
                 hits[m][0] += int((pred[:n] == subj[:n]).sum())
                 hits[m][1] += n
             rng, kz = jax.random.split(rng)
             z = jax.random.normal(kz, (CHUNK, 1, 1, 512))
             cf = G_apply(models["bigan"][1], z, cf_a)
-            pred = np.asarray(jnp.argmax(clf_fn(cf), axis=1))
+            pred = np.asarray(jnp.argmax(clf_fn(clf_p, cf), axis=1))
             hits["bigan_int"][0] += int((pred[:n] == subj[:n]).sum())
             hits["bigan_int"][1] += n
             if vae_bundle:
-                cf = vae_dec(vae_enc(xb, ab), cf_a)
-                pred = np.asarray(jnp.argmax(clf_fn(cf), axis=1))
+                cf = vae_dec(vp["decoder"], vae_enc(vp["encoder"], xb, ab), cf_a)
+                pred = np.asarray(jnp.argmax(clf_fn(clf_p, cf), axis=1))
                 hits["vae"][0] += int((pred[:n] == subj[:n]).sum())
                 hits["vae"][1] += n
         print(f"digit {d} done", flush=True)

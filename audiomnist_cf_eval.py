@@ -39,10 +39,15 @@ if __name__ == "__main__":
     tree, stats, _meta = load_audio_bigan(os.path.join(args.model_dir, args.bigan))
     model = BiGAN(audio_mnist_bigan_config(d=_meta.get("d", 64)))
 
-    models = {"bigan": (tree["params_E"], tree["params_G"])}
+    # params are uploaded once and passed as jit ARGUMENTS (never closures,
+    # never per-call host trees) — the ESRF 512^2 remote_compile /
+    # re-upload lessons, tools/esrf_quality.py:98-105.
+    models = {"bigan": (jax.device_put(tree["params_E"]),
+                        jax.device_put(tree["params_G"]))}
     if args.bigan_ft:
         ft_tree, _, _ = load_audio_bigan(os.path.join(args.model_dir, args.bigan_ft))
-        models["bigan_ft"] = (ft_tree["params_E"], ft_tree["params_G"])
+        models["bigan_ft"] = (jax.device_put(ft_tree["params_E"]),
+                              jax.device_put(ft_tree["params_G"]))
 
     vae_bundle = None
     if args.vae:
@@ -51,7 +56,7 @@ if __name__ == "__main__":
 
         vtree, vmeta = load_checkpoint(os.path.join(args.model_dir, args.vae))
         vae_model = ConditionalVAE(audio_mnist_vae_config(d=vmeta.get("d", 64)))
-        vae_bundle = (vae_model, vtree["params"])
+        vae_bundle = (vae_model, jax.device_put(vtree["params"]))
 
     # validation split, spectrograms normalised once — on the host CPU
     # backend: normalising on the accelerator would fetch the whole split
@@ -68,6 +73,10 @@ if __name__ == "__main__":
 
     E_apply = jax.jit(lambda p, x, a: model.encoder.apply({"params": p}, x, a))
     G_apply = jax.jit(lambda p, z, a: model.generator.apply({"params": p}, z, a))
+    if vae_bundle:
+        vm, vae_p = vae_bundle
+        vae_enc = jax.jit(lambda p, x, a: vm.encoder.apply({"params": p}, x, a)[0])
+        vae_dec = jax.jit(lambda p, z, a: vm.decoder.apply({"params": p}, z, a))
 
     @jax.jit
     def ratio(cf_flat, same_flat, other_flat):
@@ -111,14 +120,13 @@ if __name__ == "__main__":
             rows["bigan_int"].append(np.asarray(ratio(cf, same_flat, other_flat)))
 
             if vae_bundle:
-                vm, vp = vae_bundle
-                mean, _ = vm.encoder.apply({"params": vp["encoder"]}, xb, ab)
-                cf = vm.decoder.apply({"params": vp["decoder"]}, mean, cf_a).reshape(
+                mean = vae_enc(vae_p["encoder"], xb, ab)
+                cf = vae_dec(vae_p["decoder"], mean, cf_a).reshape(
                     (xb.shape[0], -1)
                 )
                 rows["vae"].append(np.asarray(ratio(cf, same_flat, other_flat)))
-                cf = vm.decoder.apply(
-                    {"params": vp["decoder"]}, jax.random.normal(kz, mean.shape), cf_a
+                cf = vae_dec(
+                    vae_p["decoder"], jax.random.normal(kz, mean.shape), cf_a
                 ).reshape((xb.shape[0], -1))
                 rows["vae_int"].append(np.asarray(ratio(cf, same_flat, other_flat)))
         for m in names:
