@@ -18,6 +18,10 @@ VAE_EPOCHS=${VAE_EPOCHS:-100}
 # the tools/tpu_stage.sh stall watchdog a tunnel wedge costs at most one
 # cadence of progress
 CKPT_EVERY=${CKPT_EVERY:-300}
+# EVERY TPU stage goes through the stall watchdog, not just the long
+# ones: the round-4 run wedged in the (then-unwrapped) attribute-SCM
+# stage — rchar frozen, keepalive-only wchar, 3s of CPU in 8 minutes —
+# and a silent stage without the watchdog hangs the whole battery.
 STAGE="bash tools/tpu_stage.sh"
 # INIT_STD=0.01 is the documented deviation (train_audio_mnist_bigan.py
 # --init-std) that skips the reference init's ~20k-step D=0.5 incubation;
@@ -32,11 +36,11 @@ mkdir -p "$D"
 # A battery measures a FRESH training run: unless RESUME=1, clear any
 # artifacts from a previous run so --resume (which exists for the
 # watchdog's mid-run retries) cannot silently score a stale model.
+# (Classifiers save as audio-mnist-<attribute>-clf.tar.)
 if [ "${RESUME:-0}" != "1" ]; then
   rm -f "$D"/audio-mnist-bigan.tar "$D"/audio-mnist-vae.tar \
-    "$D"/audio-mnist-clf*.tar "$D"/audio-attribute-scm.tar \
-    "$D"/audio-mnist-subject-clf.tar "$D"/*_cf_metric_mat.npy \
-    "$D"/*_int_metric_mat.npy
+    "$D"/audio-mnist-*-clf.tar "$D"/audio-mnist-attribute-scm.tar \
+    "$D"/*_cf_metric_mat.npy "$D"/*_int_metric_mat.npy
 fi
 
 # checkpoint only at the end: the raw d=64 BiGAN train state is ~0.5 GB in
@@ -48,9 +52,11 @@ $STAGE "$D/bigan_stage.log" -- \
   --steps "$EPOCHS" \
   --checkpoint-every "$CKPT_EVERY" --output-path "$D" --resume
 tail -3 "$D/bigan_stage.log"
-python train_audio_mnist_attribute_scm.py "${ZIPFLAG[@]}" --steps 2000 \
+$STAGE "$D/scm_stage.log" -- \
+  python -u train_audio_mnist_attribute_scm.py "${ZIPFLAG[@]}" --steps 2000 \
   --output-path "$D"
-python train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute digit \
+$STAGE "$D/clf_stage.log" -- \
+  python -u train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute digit \
   --epochs 30 --output-path "$D"
 $STAGE "$D/vae_stage.log" -- \
   python -u train_audio_mnist_vae.py "${ZIPFLAG[@]}" --steps "$VAE_EPOCHS" \
@@ -58,12 +64,20 @@ $STAGE "$D/vae_stage.log" -- \
 tail -3 "$D/vae_stage.log"
 
 echo "=== BiGAN CF score (digit) ==="
-python audiomnist_bigan_score.py "${ZIPFLAG[@]}" --model-dir "$D" --mc-rounds 1
+$STAGE "$D/bigan_score.log" -- \
+  python -u audiomnist_bigan_score.py "${ZIPFLAG[@]}" --model-dir "$D" --mc-rounds 1
+tail -3 "$D/bigan_score.log"
 echo "=== VAE CF score (digit) ==="
-python audiomnist_vae_score.py "${ZIPFLAG[@]}" --model-dir "$D" --mc-rounds 1
+$STAGE "$D/vae_score.log" -- \
+  python -u audiomnist_vae_score.py "${ZIPFLAG[@]}" --model-dir "$D" --mc-rounds 1
+tail -3 "$D/vae_score.log"
 echo "=== generator scores ==="
-python audiomnist_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024
-python audiomnist_vae_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024
+$STAGE "$D/gen_score.log" -- \
+  python -u audiomnist_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024
+tail -3 "$D/gen_score.log"
+$STAGE "$D/vae_gen_score.log" -- \
+  python -u audiomnist_vae_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024
+tail -3 "$D/vae_gen_score.log"
 
 # --- identity preservation (VERDICT r3 item 2): the reference's headline
 # "subject identity survives the digit CF" evidence — the 60-way
@@ -71,11 +85,15 @@ python audiomnist_vae_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024
 # and the per-subject manifold-distance ratio matrices
 # (audiomnist_cf_eval.py:56-137, *_cf_metric_mat.npy artifacts).
 echo "=== subject classifier (60-way, for identity metrics) ==="
-python train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute subject \
+$STAGE "$D/subject_clf.log" -- \
+  python -u train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute subject \
   --epochs 30 --output-path "$D"
+tail -3 "$D/subject_clf.log"
 echo "=== identity: subject-classifier accuracy after digit CF ==="
-python audiomnist_cf_classifier_metric.py "${ZIPFLAG[@]}" --model-dir "$D" \
+$STAGE "$D/cf_clf_metric.log" -- \
+  python -u audiomnist_cf_classifier_metric.py "${ZIPFLAG[@]}" --model-dir "$D" \
   --vae audio-mnist-vae.tar
+tail -6 "$D/cf_clf_metric.log"
 echo "=== identity: subject-manifold distance ratio matrices ==="
 $STAGE "$D/cf_eval_stage.log" -- \
   python -u audiomnist_cf_eval.py "${ZIPFLAG[@]}" --model-dir "$D" \
