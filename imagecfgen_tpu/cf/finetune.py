@@ -36,6 +36,10 @@ class FinetuneConfig:
     batch_size: int = 128
     metric: str = "mse"  # "mse" | "ssim"
     latent_weight: float = 1.0
+    # rematerialize the E/G forwards in the backward pass — the 512^2
+    # ESRF family needs this at useful batch sizes (same trade as
+    # GANTrainConfig.remat, train/gan_trainer.py:115-120)
+    remat: bool = False
 
 
 class EncoderFinetuner:
@@ -55,13 +59,31 @@ class EncoderFinetuner:
             return 1.0 - ssim((x + 1) / 2, (xr + 1) / 2, data_range=1.0)
         return jnp.mean((x - xr) ** 2)
 
-    def train_step(self, state: FinetuneState, batch):
+    def train_step(self, state: FinetuneState, batch, params_G=None):
+        """One Adam step on E. ``params_G`` defaults to the constructor
+        tree for direct callers; the jitted epoch program passes it as a
+        traced ARGUMENT so the large frozen generator is never lowered
+        into the HLO as embedded constants (the remote_compile
+        "Broken pipe" failure mode at ESRF 512^2 scale — see
+        tools/esrf_quality.py and the verify skill)."""
+        if params_G is None:
+            params_G = self.params_G
         x, attrs = batch["image"], batch["attrs"]
         rng, _ = jax.random.split(state.rng)
 
+        def _e_fwd(params, x, attrs):
+            return self.bigan.encoder.apply({"params": params}, x, attrs)
+
+        def _g_fwd(params, z, attrs):
+            return self.bigan.generator.apply({"params": params}, z, attrs)
+
+        if self.fcfg.remat:
+            _e_fwd = jax.checkpoint(_e_fwd)
+            _g_fwd = jax.checkpoint(_g_fwd)
+
         def loss_fn(params_E):
-            z = self.bigan.encoder.apply({"params": params_E}, x, attrs)
-            xr = self.bigan.generator.apply({"params": self.params_G}, z, attrs)
+            z = _e_fwd(params_E, x, attrs)
+            xr = _g_fwd(params_G, z, attrs)
             rec = self._rec_loss(x, xr)
             latent = jnp.mean(z**2)
             return rec + self.fcfg.latent_weight * latent, (rec, latent)
@@ -80,18 +102,22 @@ class EncoderFinetuner:
         data_sh = NamedSharding(self.mesh, P(DATA_AXIS))
         repl = NamedSharding(self.mesh, P())
 
-        def epoch(state, data, key):
+        def epoch(state, params_G, data, key):
             n = data["image"].shape[0]
             nb = n // batch_size
             perm = jax.random.permutation(key, n)[: nb * batch_size]
             batches = jax.tree_util.tree_map(
                 lambda v: v[perm].reshape((nb, batch_size) + v.shape[1:]), data
             )
-            state, metrics = jax.lax.scan(self.train_step, state, batches)
+            state, metrics = jax.lax.scan(
+                lambda st, b: self.train_step(st, b, params_G), state, batches
+            )
             return state, jax.tree_util.tree_map(lambda m: m.mean(), metrics)
 
         return jax.jit(
-            epoch, in_shardings=(repl, data_sh, repl), out_shardings=(repl, repl),
+            epoch,
+            in_shardings=(repl, repl, data_sh, repl),
+            out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
 
@@ -101,8 +127,12 @@ class EncoderFinetuner:
             self._fit_batch = resolve_batch(n, self.fcfg.batch_size, self.mesh.size)
             self._epoch_fn = self._build_epoch_fn(self._fit_batch)
             state = jax.device_put(state, NamedSharding(self.mesh, P()))
+            # frozen G rides along as a jit argument — upload it once here
+            self.params_G = jax.device_put(
+                self.params_G, NamedSharding(self.mesh, P())
+            )
         require_full_batch(n, self._fit_batch)
-        return self._epoch_fn(state, data, key)
+        return self._epoch_fn(state, self.params_G, data, key)
 
     def upload_dataset(self, x: np.ndarray, attrs: Mapping[str, np.ndarray]):
         sh = NamedSharding(self.mesh, P(DATA_AXIS))

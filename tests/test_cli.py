@@ -63,6 +63,7 @@ SCRIPTS = [
     "whale_cf_score.py",
     "whale_generator_score.py",
     "train_esrf_bigan.py",
+    "finetune_esrf_bigan.py",
 ]
 
 

@@ -88,6 +88,34 @@ def test_encoder_finetuner_improves_reconstruction():
     assert recs[-1] < recs[0], recs
 
 
+def test_finetuner_remat_matches_no_remat():
+    """FinetuneConfig(remat=True) (the 512^2 ESRF fine-tune mode) is a pure
+    memory/FLOP trade: identical rng and data must give the same params."""
+    model = BiGAN(tiny_config())
+    gan = GANTrainer(model, GANTrainConfig(batch_size=8))
+    gstate = gan.init_state(jax.random.PRNGKey(0))
+    x, attrs = _data(16, seed=4)
+    outs = {}
+    for remat in (False, True):
+        ft = EncoderFinetuner(
+            model, gstate.params_G,
+            FinetuneConfig(learning_rate=1e-3, batch_size=8, metric="ssim",
+                           remat=remat),
+        )
+        # fresh buffer copies: the epoch program donates its state arg, so
+        # reusing gstate.params_E across the two runs would hit deleted arrays
+        p_e = jax.tree_util.tree_map(jnp.array, gstate.params_E)
+        state = ft.init_state(p_e, jax.random.PRNGKey(1))
+        data = ft.upload_dataset(x, attrs)
+        for e in range(2):
+            state, m = ft.fit_epoch(
+                state, data, jax.random.fold_in(jax.random.PRNGKey(2), e))
+        outs[remat] = (jax.tree_util.tree_leaves(state.params_E), float(m["rec"]))
+    for a, b in zip(outs[False][0], outs[True][0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert abs(outs[False][1] - outs[True][1]) < 1e-6
+
+
 def test_remat_matches_no_remat():
     """GANTrainConfig(remat=True) rematerializes forwards in the backward
     pass; the computed updates must be bit-for-bit compatible (same graph

@@ -40,7 +40,7 @@ mkdir -p "$D"
 # so --resume (needed for the watchdog's mid-run retries) cannot
 # silently score a stale model.
 if [ "${RESUME:-0}" != "1" ]; then
-  rm -f "$D"/esrf-bigan.tar
+  rm -f "$D"/esrf-bigan.tar "$D"/esrf-bigan-finetuned-*.tar
 fi
 
 $STAGE "$D/bigan_stage.log" -- \
@@ -49,5 +49,24 @@ $STAGE "$D/bigan_stage.log" -- \
   --output-path "$D" --resume "${INIT_FLAG[@]}"
 tail -3 "$D/bigan_stage.log"
 
-echo "=== ESRF quality (recon + rumble-band CF) ==="
-python -u tools/esrf_quality.py --model-dir "$D" "${DATA_FLAGS[@]}" --batch-size 16
+echo "=== ESRF quality (recon + rumble-band CF, base encoder) ==="
+$STAGE "$D/quality_base.log" -- \
+  python -u tools/esrf_quality.py --model-dir "$D" "${DATA_FLAGS[@]}" --batch-size 16
+tail -8 "$D/quality_base.log"
+
+# round-4 finding: the base 512^2 encoder reconstructs poorly (SSIM 0.032)
+# and do(has_boat) bleeds into the 1-2 kHz control band; the whale family's
+# identical symptom was cured by the SSIM encoder fine-tune (CF 0.872->1.0).
+FT_EPOCHS=${FT_EPOCHS:-40}
+echo "=== encoder fine-tune (ssim, $FT_EPOCHS epochs) ==="
+$STAGE "$D/finetune_stage.log" -- \
+  python -u finetune_esrf_bigan.py "${DATA_FLAGS[@]}" --steps "$FT_EPOCHS" \
+  --model-file "$D/esrf-bigan.tar" --output-path "$D" --metric ssim \
+  --batch-size 16
+tail -3 "$D/finetune_stage.log"
+
+echo "=== ESRF quality (fine-tuned encoder) ==="
+$STAGE "$D/quality_ft.log" -- \
+  python -u tools/esrf_quality.py --model-dir "$D" "${DATA_FLAGS[@]}" \
+  --bigan esrf-bigan-finetuned-ssim.tar --batch-size 16
+tail -8 "$D/quality_ft.log"
