@@ -78,61 +78,99 @@ if __name__ == "__main__":
         vae_enc = jax.jit(lambda p, x, a: vm.encoder.apply({"params": p}, x, a)[0])
         vae_dec = jax.jit(lambda p, z, a: vm.decoder.apply({"params": p}, z, a))
 
+    # Every jitted function below sees ONE shape for the whole run (the
+    # round-4 advisor finding: unpadded per-(subject, digit) batches meant
+    # up to hundreds of remote_compile RPCs over the slow tunnel). CF
+    # batches are padded to CHUNK; the comparison pool for digit d is all
+    # digit-d clips padded to one global cap and uploaded once per digit,
+    # with same/other selected by per-subject masks inside the jit.
+    # CHUNK is sized from the data (largest per-(subject, digit) CF batch,
+    # rounded up to a lane-friendly multiple of 8, capped at 128) — still
+    # one shape for the whole run, without padding a 9-clip stand-in
+    # batch to 128.
+    max_nd = max(
+        int(((subjects == s) & (digits != d)).sum())
+        for s in range(1, n_subj + 1)
+        for d in range(10)
+    )
+    CHUNK = min(128, max(8, -(-max_nd // 8) * 8))
+
+    def padded_chunks(mask):
+        (rows,) = np.nonzero(mask)
+        for i in range(0, len(rows), CHUNK):
+            sel = rows[i : i + CHUNK]
+            yield np.concatenate([sel, np.repeat(sel[-1:], CHUNK - len(sel))]), len(sel)
+
     @jax.jit
-    def ratio(cf_flat, same_flat, other_flat):
-        same_err = ((cf_flat[:, None, :] - same_flat[None]) ** 2).sum(-1).mean(1)
-        other_err = ((cf_flat[:, None, :] - other_flat[None]) ** 2).sum(-1).mean(1)
+    def ratio(cf_flat, pool_flat, same_mask, other_mask):
+        d2 = ((cf_flat[:, None, :] - pool_flat[None]) ** 2).sum(-1)
+        same_err = (d2 * same_mask[None]).sum(1) / jnp.maximum(same_mask.sum(), 1.0)
+        other_err = (d2 * other_mask[None]).sum(1) / jnp.maximum(other_mask.sum(), 1.0)
         return same_err / jnp.maximum(other_err, 1e-12)
 
     names = list(models) + (["vae"] if vae_bundle else []) + ["bigan_int"] + (
         ["vae_int"] if vae_bundle else []
     )
-    mats = {m: [] for m in names}
+    subj_list = [s for s in range(1, n_subj + 1) if (subjects == s).any()]
+    cells = {}  # (model, subject, digit) -> per-clip ratio row
     rng = jax.random.PRNGKey(args.seed)
+    pool_cap = max(int((digits == d).sum()) for d in range(10))
 
-    for subject in range(1, n_subj + 1):
-        mask_s = subjects == subject
-        if not mask_s.any():
-            continue
-        rows = {m: [] for m in names}
-        for d in range(10):
+    for d in range(10):
+        (pool_rows,) = np.nonzero(digits == d)
+        pool = np.zeros((pool_cap, x_all[0].size), np.float32)
+        pool[: len(pool_rows)] = x_all[pool_rows].reshape((len(pool_rows), -1))
+        pool_flat = jnp.asarray(pool)
+        pool_subj = subjects[pool_rows]
+        valid = np.zeros(pool_cap, np.float32)
+        valid[: len(pool_rows)] = 1.0
+
+        for subject in subj_list:
+            mask_s = subjects == subject
             nd = mask_s & (digits != d)
-            same = mask_s & (digits == d)
-            other = (~mask_s) & (digits == d)
-            if not nd.any() or not same.any() or not other.any():
+            same_mask = np.zeros(pool_cap, np.float32)
+            same_mask[: len(pool_rows)] = pool_subj == subject
+            other_mask = valid - same_mask
+            if not nd.any() or not same_mask.any() or not other_mask.any():
                 for m in names:
-                    rows[m].append(np.full(int(nd.sum()) or 1, np.nan))
+                    cells[(m, subject, d)] = np.full(int(nd.sum()) or 1, np.nan)
                 continue
-            xb = jnp.asarray(x_all[nd])
-            ab = {k: jnp.asarray(v[nd]) for k, v in attrs.items()}
-            cf_a = dict(ab)
-            cf_a["digit"] = jnp.zeros_like(ab["digit"]).at[:, d].set(1.0)
-            same_flat = jnp.asarray(x_all[same]).reshape((int(same.sum()), -1))
-            other_flat = jnp.asarray(x_all[other]).reshape((int(other.sum()), -1))
+            same_j, other_j = jnp.asarray(same_mask), jnp.asarray(other_mask)
+            parts = {m: [] for m in names}
+            for sel, n in padded_chunks(nd):
+                xb = jnp.asarray(x_all[sel])
+                ab = {k: jnp.asarray(v[sel]) for k, v in attrs.items()}
+                cf_a = dict(ab)
+                cf_a["digit"] = jnp.zeros_like(ab["digit"]).at[:, d].set(1.0)
 
-            for m, (pE, pG) in models.items():
-                codes = E_apply(pE, xb, ab)
-                cf = G_apply(pG, codes, cf_a).reshape((xb.shape[0], -1))
-                rows[m].append(np.asarray(ratio(cf, same_flat, other_flat)))
-            rng, kz = jax.random.split(rng)
-            z = jax.random.normal(kz, (xb.shape[0], 1, 1, 512))
-            cf = G_apply(models["bigan"][1], z, cf_a).reshape((xb.shape[0], -1))
-            rows["bigan_int"].append(np.asarray(ratio(cf, same_flat, other_flat)))
+                for m, (pE, pG) in models.items():
+                    codes = E_apply(pE, xb, ab)
+                    cf = G_apply(pG, codes, cf_a).reshape((CHUNK, -1))
+                    parts[m].append(np.asarray(ratio(cf, pool_flat, same_j, other_j))[:n])
+                rng, kz = jax.random.split(rng)
+                z = jax.random.normal(kz, (CHUNK, 1, 1, 512))
+                cf = G_apply(models["bigan"][1], z, cf_a).reshape((CHUNK, -1))
+                parts["bigan_int"].append(
+                    np.asarray(ratio(cf, pool_flat, same_j, other_j))[:n])
 
-            if vae_bundle:
-                mean = vae_enc(vae_p["encoder"], xb, ab)
-                cf = vae_dec(vae_p["decoder"], mean, cf_a).reshape(
-                    (xb.shape[0], -1)
-                )
-                rows["vae"].append(np.asarray(ratio(cf, same_flat, other_flat)))
-                cf = vae_dec(
-                    vae_p["decoder"], jax.random.normal(kz, mean.shape), cf_a
-                ).reshape((xb.shape[0], -1))
-                rows["vae_int"].append(np.asarray(ratio(cf, same_flat, other_flat)))
-        for m in names:
-            mats[m].append(rows[m])
-        print(f"subject {subject}: bigan ratio "
-              f"{np.nanmean(np.concatenate(rows['bigan'])):.4f}")
+                if vae_bundle:
+                    mean = vae_enc(vae_p["encoder"], xb, ab)
+                    cf = vae_dec(vae_p["decoder"], mean, cf_a).reshape((CHUNK, -1))
+                    parts["vae"].append(
+                        np.asarray(ratio(cf, pool_flat, same_j, other_j))[:n])
+                    cf = vae_dec(
+                        vae_p["decoder"], jax.random.normal(kz, mean.shape), cf_a
+                    ).reshape((CHUNK, -1))
+                    parts["vae_int"].append(
+                        np.asarray(ratio(cf, pool_flat, same_j, other_j))[:n])
+            for m in names:
+                cells[(m, subject, d)] = np.concatenate(parts[m])
+        print(f"digit {d}: bigan ratio "
+              f"{np.nanmean(np.concatenate([cells[('bigan', s, d)] for s in subj_list])):.4f}",
+              flush=True)
+
+    mats = {m: [[cells[(m, s, d)] for d in range(10)] for s in subj_list]
+            for m in names}
 
     os.makedirs(args.out_dir or ".", exist_ok=True)
     name_map = {"bigan": "bigan_cf_metric_mat.npy",

@@ -55,9 +55,11 @@ tail -3 "$D/bigan_stage.log"
 $STAGE "$D/scm_stage.log" -- \
   python -u train_audio_mnist_attribute_scm.py "${ZIPFLAG[@]}" --steps 2000 \
   --output-path "$D"
+tail -3 "$D/scm_stage.log"
 $STAGE "$D/clf_stage.log" -- \
   python -u train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute digit \
   --epochs 30 --output-path "$D"
+tail -3 "$D/clf_stage.log"
 $STAGE "$D/vae_stage.log" -- \
   python -u train_audio_mnist_vae.py "${ZIPFLAG[@]}" --steps "$VAE_EPOCHS" \
   --checkpoint-every "$CKPT_EVERY" --output-path "$D" --resume

@@ -11,13 +11,23 @@
 # tunnel is given SETTLE_SECS to recover, a small health probe must
 # succeed, and the command is re-run — commands should therefore be
 # resumable (e.g. train_whale_bigan.py --resume). Gives up after
-# MAX_RETRIES (default 4) attempts.
+# MAX_RETRIES (default 4) stall-kills.
+#
+# Ordinary nonzero exits are NOT stalls: a deterministic crash would
+# burn MAX_RETRIES x (SETTLE_SECS + probes) before surfacing, so plain
+# crashes retry at most CRASH_RETRIES times (default 1 — enough to ride
+# out a one-off tunnel hiccup that killed the client with an exception;
+# CRASH_RETRIES=0 makes short deterministic stages fail immediately).
+# The settle+probe still runs after a crash: a client that died with an
+# exception can leave the single-tenant axon server wedged for the NEXT
+# client (verify SKILL.md), so re-running immediately would hang.
 set -u
 LOG=$1; shift
 [ "$1" = "--" ] && shift
 STALL_SECS=${STALL_SECS:-360}
 SETTLE_SECS=${SETTLE_SECS:-300}
 MAX_RETRIES=${MAX_RETRIES:-4}
+CRASH_RETRIES=${CRASH_RETRIES:-1}
 POLL_SECS=${POLL_SECS:-60}
 HEALTH_CMD=${HEALTH_CMD:-}
 # a wedged tunnel client still trickles ~4 B/s of keepalives, so only IO
@@ -36,7 +46,9 @@ import os; os._exit(0)" >> "$LOG.health" 2>&1
 }
 
 attempt=0
-while [ "$attempt" -le "$MAX_RETRIES" ]; do
+stalls=0
+crashes=0
+while true; do
   attempt=$((attempt + 1))
   echo "[tpu_stage] attempt $attempt: $*" >> "$LOG"
   setsid "$@" >> "$LOG" 2>&1 &
@@ -51,7 +63,12 @@ while [ "$attempt" -le "$MAX_RETRIES" ]; do
         echo "[tpu_stage] done (attempt $attempt)" >> "$LOG"
         exit 0
       fi
-      echo "[tpu_stage] exited rc=$rc; retrying" >> "$LOG"
+      crashes=$((crashes + 1))
+      if [ "$crashes" -gt "$CRASH_RETRIES" ]; then
+        echo "[tpu_stage] exited rc=$rc ($crashes crash(es), not a stall); giving up" >> "$LOG"
+        exit "$rc"
+      fi
+      echo "[tpu_stage] exited rc=$rc; retrying (crash $crashes/$CRASH_RETRIES)" >> "$LOG"
       break
     fi
     # activity = log growth OR process IO progress. The IO check keeps
@@ -76,6 +93,11 @@ while [ "$attempt" -le "$MAX_RETRIES" ]; do
       echo "[tpu_stage] no log/io activity for $(( now - last_activity ))s; killing pgid $PGID" >> "$LOG"
       kill -TERM -"$PGID" 2>/dev/null; sleep 5
       kill -KILL -"$PGID" 2>/dev/null
+      stalls=$((stalls + 1))
+      if [ "$stalls" -gt "$MAX_RETRIES" ]; then
+        echo "[tpu_stage] giving up after $stalls stall-kills" >> "$LOG"
+        exit 2
+      fi
       break
     fi
   done
@@ -91,5 +113,3 @@ while [ "$attempt" -le "$MAX_RETRIES" ]; do
     sleep 120
   done
 done
-echo "[tpu_stage] giving up after $MAX_RETRIES retries" >> "$LOG"
-exit 2
