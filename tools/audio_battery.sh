@@ -30,6 +30,12 @@ STAGE="bash tools/tpu_stage.sh"
 # reference-exact init.
 INIT_FLAG=()
 [ -n "${INIT_STD:-}" ] && INIT_FLAG=(--init-std "$INIT_STD")
+# DTYPE=bfloat16 trains the BiGAN with bf16 activations (+18% steps/s,
+# docs/PERF.md) so the quality deltas of that mode are measured against
+# the f32 battery, not assumed (VERDICT r4 item 7). Only the BiGAN stage
+# switches dtype — SCM/classifier/VAE stay f32 so deltas are attributable.
+DTYPE_FLAG=()
+[ -n "${DTYPE:-}" ] && DTYPE_FLAG=(--compute-dtype "$DTYPE")
 ZIPFLAG=()
 [ -n "$ZIP" ] && ZIPFLAG=(--zip-path "$ZIP")
 mkdir -p "$D"
@@ -49,7 +55,7 @@ fi
 # would dominate wall time. The same applies to the VAE below.
 $STAGE "$D/bigan_stage.log" -- \
   python -u train_audio_mnist_bigan.py "${ZIPFLAG[@]}" "${INIT_FLAG[@]}" \
-  --steps "$EPOCHS" \
+  "${DTYPE_FLAG[@]}" --steps "$EPOCHS" \
   --checkpoint-every "$CKPT_EVERY" --output-path "$D" --resume
 tail -3 "$D/bigan_stage.log"
 $STAGE "$D/scm_stage.log" -- \

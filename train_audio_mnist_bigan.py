@@ -32,8 +32,17 @@ parser.add_argument("--seed", type=int, default=0)
 parser.add_argument("--throughput", action="store_true",
                     help="opt-in speed mode: fused D steps + fused EG-phase D "
                          "forwards + bf16 Adam first moment (+28-32%% steps/s on "
-                         "the MNIST config, docs/PERF.md). Slightly changes "
-                         "training semantics; default keeps exact reference "
+                         "the MNIST config, docs/PERF.md). Changes training "
+                         "semantics: measured cost ~5 points of compound-CF "
+                         "digit accuracy on the MNIST hard battery (RESULTS.md "
+                         "'FUSED throughput mode'); default keeps exact "
+                         "reference numerics")
+parser.add_argument("--compute-dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="activation/matmul dtype for the E/G/D forwards "
+                         "(params and optimizer state stay float32). "
+                         "bfloat16 is +18%% steps/s on this family "
+                         "(docs/PERF.md); float32 keeps exact reference "
                          "numerics")
 parser.add_argument("--resume", action="store_true",
                     help="continue from an existing audio-mnist-bigan.tar in --output-path")
@@ -67,10 +76,14 @@ if __name__ == "__main__":
     print(f"training on {len(x)} spectrograms")
 
     cfg = audio_mnist_bigan_config(d=args.d)
-    if args.init_std is not None:
-        import dataclasses
+    import dataclasses
 
+    if args.init_std is not None:
         cfg = dataclasses.replace(cfg, init_std=args.init_std)
+    if args.compute_dtype != "float32":
+        import jax.numpy as jnp
+
+        cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
     model = BiGAN(cfg)
     trainer = GANTrainer(
         model,

@@ -25,9 +25,11 @@ parser.add_argument("--seed", type=int, default=0)
 parser.add_argument("--throughput", action="store_true",
                     help="opt-in speed mode: fused D steps + fused EG-phase D "
                          "forwards + bf16 Adam first moment (+28-32%% steps/s on "
-                         "the MNIST config, docs/PERF.md). Slightly changes "
-                         "training semantics; default keeps exact reference "
-                         "numerics")
+                         "the MNIST config, docs/PERF.md). Changes training "
+                         "semantics: measured cost ~5 points of compound-CF "
+                         "digit accuracy on the hard battery (RESULTS.md "
+                         "'FUSED throughput mode'); default keeps exact "
+                         "reference numerics")
 
 def _throughput_kw(args):
     """--throughput -> the opt-in GANTrainConfig speed flags (docs/PERF.md)."""
