@@ -40,10 +40,21 @@ def pyramid_expand(image: np.ndarray, upscale: int, order: int = 3) -> np.ndarra
 
 
 def pyramid_reduce(image: np.ndarray, downscale: int, order: int = 3) -> np.ndarray:
-    """Smooth then downsample by ``downscale`` (``pyramid_reduce``)."""
+    """Smooth then downsample by ``downscale`` (``pyramid_reduce``).
+
+    Output size is ``ceil(n / downscale)`` per axis — the upstream
+    convention. ``ndi.zoom(..., 1/downscale)`` alone ROUNDS instead
+    (65/16 -> 4, not 5), which made the SetThickness disk cache an
+    even-sized, asymmetric footprint: every synthesized dilation/erosion
+    drifted the glyph by half a pixel (caught by the hand-derived
+    thickness goldens in tests/test_morpho_golden.py). For divisible
+    sizes (the downscale() path) both conventions agree.
+    """
     img = np.asarray(image, dtype=np.float64)
     sm = ndi.gaussian_filter(img, _pyramid_sigma(downscale), mode="reflect")
-    return ndi.zoom(sm, 1.0 / downscale, order=order, mode="reflect", grid_mode=True)
+    out_shape = tuple(int(np.ceil(s / downscale)) for s in img.shape)
+    zoom_f = [o / s for o, s in zip(out_shape, img.shape)]
+    return ndi.zoom(sm, zoom_f, order=order, mode="reflect", grid_mode=True)
 
 
 def _process_img_morph(img: np.ndarray, threshold: float = 0.5, scale: int = 1):

@@ -87,3 +87,50 @@ def test_upscaled_strip_thickness_is_scale_invariant():
     m = ImageMorphology(img, scale=4)
     assert m.mean_thickness == pytest.approx(5.0, abs=0.6)
     assert m.area == pytest.approx(140.0, rel=0.05)
+
+
+def _strip(h0=10, h1=15):
+    img = np.zeros((28, 28), np.float32)
+    img[h0:h1, :] = 1.0
+    return img
+
+
+def test_thickening_doubles_strip_thickness():
+    """Thickening(amount=1.0) dilates by radius int(mean_thickness/2) = 3
+    (reference semantics, perturb.py Thickening): the 5-row full-width
+    strip (thickness 6) grows 3 rows each side to height 11, whose ridge
+    EDT is 6 — measured thickness exactly doubles to 12."""
+    from imagecfgen_tpu.morphomnist.perturb import Thickening
+
+    m = ImageMorphology(_strip(), scale=1)
+    out = Thickening(amount=1.0)(m)
+    m2 = ImageMorphology(out.astype(np.float32), scale=1)
+    assert m2.mean_thickness == pytest.approx(12.0)
+
+
+def test_set_thickness_hits_exact_target_on_strip():
+    """SetThickness(10) on the thickness-6 strip: delta=4 -> dilation
+    radius 2 -> height 9 strip -> ridge EDT 5 -> measured thickness 10.
+    Pins the radius = scale*|delta|/2 convention, not just monotonicity."""
+    from imagecfgen_tpu.morphomnist.perturb import SetThickness
+
+    m = ImageMorphology(_strip(), scale=1)
+    out = SetThickness(10.0)(m)
+    m2 = ImageMorphology(out.astype(np.float32), scale=1)
+    assert m2.mean_thickness == pytest.approx(10.0)
+
+
+def test_thinning_reduces_strip_to_thin_core():
+    """Thinning(amount=0.7): radius int(0.7*6/2) = 2; eroding the 5-row
+    strip by a radius-2 disk keeps only pixels whose disk fits inside,
+    i.e. the middle row (rows 12) away from the left/right image borders.
+    The re-measured thickness is the 1-2 px floor, and the skeleton stays
+    inside row 12."""
+    from imagecfgen_tpu.morphomnist.perturb import Thinning
+
+    m = ImageMorphology(_strip(), scale=1)
+    out = Thinning(amount=0.7)(m)
+    m2 = ImageMorphology(out.astype(np.float32), scale=1)
+    ys, _ = np.nonzero(m2.skeleton)
+    assert set(ys) == {12}
+    assert m2.mean_thickness <= 4.0
