@@ -91,6 +91,7 @@ if __name__ == "__main__":
             flush=True,
         )
 
+    os.makedirs(args.output_path or ".", exist_ok=True)
     out = os.path.join(args.output_path or ".",
                        f"esrf-bigan-finetuned-{args.metric}.tar")
     # scoring (tools/esrf_quality.py) needs only E/G + stats; dropping the
