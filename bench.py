@@ -256,11 +256,14 @@ def measure_esrf_train():
     )
 
 
-def measure_cf_throughput():
+def measure_cf_throughput(compute_dtype=None):
     """Batched abduct-act-predict images/sec on the full MNIST BiGAN: the
     whole attribute-CF + E + G chain as one jitted program
     (mnist_gan_counterfactuals.py:62-93). Returns (median img/s over 3
-    duration-calibrated regions, spread %)."""
+    pinned 480-rep regions after a warmup region, spread %) — see the
+    protocol note below. ``compute_dtype`` switches the
+    E/G forwards (params stay f32); bf16 is a pure-inference option the
+    engine supports via the model config."""
     import jax
     import jax.numpy as jnp
 
@@ -282,7 +285,12 @@ def measure_cf_throughput():
         steps=5, batch_size=b,
     )
 
-    model = BiGAN(mnist_bigan_config())
+    cfg = mnist_bigan_config()
+    if compute_dtype is not None:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, compute_dtype=compute_dtype)
+    model = BiGAN(cfg)
     key = jax.random.PRNGKey(0)
     vE = jax.jit(lambda: model.encoder.init(
         {"params": key}, jnp.zeros((2, 28, 28, 1)),
@@ -296,23 +304,53 @@ def measure_cf_throughput():
     ab = {k: jax.device_put(v) for k, v in raw_attrs.items()}
     iv = {"thickness": jax.device_put((t + 2).reshape(-1, 1))}
     out, _ = engine.counterfactual(key, xb, ab, iv)
-    _sync(out)  # compile
+    _sync(out)  # compile + parity check of the public single-call path
 
-    def timed_region(reps, salt):
+    # Protocol pinned in round 5 (VERDICT r4 item 4; probe rows in
+    # docs/cf_region_probe_r05.jsonl, analysis in docs/PERF.md). The
+    # per-call protocol of rounds 1-4 measured the axon tunnel, not the
+    # device: each region paid a fixed C ~ 0.3-0.4 s (async-dispatch
+    # drain + a 6.4 MB image-batch sync fetch), and between regions the
+    # 480 individual dispatch RPCs made the rate hostage to host/tunnel
+    # scheduling (3 consecutive runs spanned 245k-383k img/s). Both the
+    # r03 number (74.4k, 20-rep regions ~85% C) and the r04 number
+    # (122.1k, ~0.6 s regions - its 10-rep calibration included its own
+    # C, so the chosen rep count was ~3x short) sit on the resulting
+    # ramp rate(T) = R_inf*(1 - C/T).
+    #
+    # Pinned protocol - the same scanned-dispatch idiom every trainer
+    # number in this file uses ("time whole scanned programs", verify
+    # skill): INNER reps of the identical jitted CF chain are fused into
+    # one dispatch via lax.scan (keys folded per rep; outputs reduced
+    # into the carry so nothing is DCE'd), a region is CHAINS dispatches
+    # = 480 reps, and the closing sync fetches one scalar. Per-dispatch
+    # device time ~70 ms vs ~1-3 ms dispatch RPC keeps the pipeline full
+    # even under host contention. One warmup region is discarded, then
+    # median end-to-end rate of 3 regions + spread.
+    INNER, CHAINS = 16, 30
+
+    def one_rep(k):
+        x_cf, _ = engine.counterfactual(k, xb, ab, iv)
+        return jnp.sum(x_cf)
+
+    @jax.jit
+    def chain(key0):
+        def body(acc, i):
+            return acc + one_rep(jax.random.fold_in(key0, i)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(INNER))
+        return acc
+
+    def timed_region(salt):
         t0 = time.perf_counter()
-        for r in range(reps):
-            out, _ = engine.counterfactual(
-                jax.random.fold_in(key, salt + r), xb, ab, iv)
-        _sync(out)
+        for r in range(CHAINS):
+            acc = chain(jax.random.fold_in(key, salt + r))
+        _sync(acc)
         return time.perf_counter() - t0
 
-    # calibrate the rep count so each timed region runs >= 2 s: at ~25 us/
-    # image a 20-rep region is shorter than tunnel dispatch jitter, which
-    # produced the 62.8k-90.4k img/s spread of rounds 1-3 (VERDICT r3 weak
-    # item 5). Then take the median of 3 regions and report the spread.
-    warm = timed_region(10, 10_000)
-    reps = max(20, int(np.ceil(2.0 / max(warm / 10, 1e-5))))
-    rates = [b * reps / timed_region(reps, 1000 * i) for i in range(3)]
+    reps = INNER * CHAINS
+    timed_region(10_000)  # warmup region (also compiles the chain)
+    rates = [b * reps / timed_region(1000 * i) for i in range(3)]
     spread_pct = 100 * (max(rates) - min(rates)) / float(np.median(rates))
     return float(np.median(rates)), round(spread_pct, 2)
 
@@ -424,6 +462,11 @@ def main():
     ours, flops, nbytes = measure_mnist_train()  # primary: let failures surface
     cf = _safe(measure_cf_throughput, "cf throughput")
     fast = os.environ.get("BENCH_FAST")
+    import jax.numpy as jnp
+
+    cf_bf16 = None if fast else _safe(
+        lambda: measure_cf_throughput(jnp.bfloat16), "cf bf16 throughput"
+    )
     tput = None if fast else _safe(measure_mnist_throughput, "bf16 throughput")
     fused = None if fast else _safe(measure_mnist_fused, "fused throughput")
     audio = None if fast else _safe(measure_audio_train, "audio train")
@@ -462,6 +505,9 @@ def main():
     if cf is not None:
         record["cf_images_per_sec"] = round(cf[0], 1)
         record["cf_spread_pct"] = cf[1]
+    if cf_bf16 is not None:
+        record["cf_bf16_images_per_sec"] = round(cf_bf16[0], 1)
+        record["cf_bf16_spread_pct"] = cf_bf16[1]
     if audio is not None:
         record["audio_bigan_steps_per_sec"] = round(audio[0], 2)
     if whale is not None:

@@ -19,12 +19,18 @@ up to 16 s, several regions per length, and prints a JSONL row per
 region so the flattening (or its absence) is recorded, not assumed.
 """
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
+    from imagecfgen_tpu.cli.common import install_cli_excepthook
+    install_cli_excepthook()
     import jax
 
     import bench
