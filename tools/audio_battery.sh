@@ -66,32 +66,49 @@ $STAGE "$D/clf_stage.log" -- \
   python -u train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute digit \
   --epochs 30 --output-path "$D"
 tail -3 "$D/clf_stage.log"
-$STAGE "$D/vae_stage.log" -- \
-  python -u train_audio_mnist_vae.py "${ZIPFLAG[@]}" --steps "$VAE_EPOCHS" \
-  --checkpoint-every "$CKPT_EVERY" --output-path "$D" --resume
-tail -3 "$D/vae_stage.log"
+# VAE=0 skips the (always-f32) VAE family: BiGAN-only ablations like the
+# bf16 A/B don't change it, so re-training it would just reproduce the
+# baseline battery's numbers at ~1 h cost.
+if [ "${VAE:-1}" = "1" ]; then
+  $STAGE "$D/vae_stage.log" -- \
+    python -u train_audio_mnist_vae.py "${ZIPFLAG[@]}" --steps "$VAE_EPOCHS" \
+    --checkpoint-every "$CKPT_EVERY" --output-path "$D" --resume
+  tail -3 "$D/vae_stage.log"
+else
+  echo "=== VAE stages skipped (VAE=0) ==="
+fi
 
 echo "=== BiGAN CF score (digit) ==="
 $STAGE "$D/bigan_score.log" -- \
   python -u audiomnist_bigan_score.py "${ZIPFLAG[@]}" --model-dir "$D" --mc-rounds 1
 tail -3 "$D/bigan_score.log"
-echo "=== VAE CF score (digit) ==="
-$STAGE "$D/vae_score.log" -- \
-  python -u audiomnist_vae_score.py "${ZIPFLAG[@]}" --model-dir "$D" --mc-rounds 1
-tail -3 "$D/vae_score.log"
+if [ "${VAE:-1}" = "1" ]; then
+  echo "=== VAE CF score (digit) ==="
+  $STAGE "$D/vae_score.log" -- \
+    python -u audiomnist_vae_score.py "${ZIPFLAG[@]}" --model-dir "$D" --mc-rounds 1
+  tail -3 "$D/vae_score.log"
+fi
 echo "=== generator scores ==="
 $STAGE "$D/gen_score.log" -- \
   python -u audiomnist_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024
 tail -3 "$D/gen_score.log"
-$STAGE "$D/vae_gen_score.log" -- \
-  python -u audiomnist_vae_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024
-tail -3 "$D/vae_gen_score.log"
+if [ "${VAE:-1}" = "1" ]; then
+  $STAGE "$D/vae_gen_score.log" -- \
+    python -u audiomnist_vae_generator_score.py --model-dir "$D" --mc-rounds 1 --n 1024
+  tail -3 "$D/vae_gen_score.log"
+fi
 
 # --- identity preservation (VERDICT r3 item 2): the reference's headline
 # "subject identity survives the digit CF" evidence — the 60-way
 # subject-classifier metric (audiomnist_cf_classifier_metric.py:58-108)
 # and the per-subject manifold-distance ratio matrices
 # (audiomnist_cf_eval.py:56-137, *_cf_metric_mat.npy artifacts).
+# IDENTITY=0 skips this block — ablation batteries (e.g. the bf16 A/B)
+# need only the CF/generation scores above.
+if [ "${IDENTITY:-1}" != "1" ]; then
+  echo "=== identity stages skipped (IDENTITY=0) ==="
+  exit 0
+fi
 echo "=== subject classifier (60-way, for identity metrics) ==="
 $STAGE "$D/subject_clf.log" -- \
   python -u train_audio_mnist_clf.py "${ZIPFLAG[@]}" --attribute subject \
