@@ -505,6 +505,7 @@ def main():
     if cf is not None:
         record["cf_images_per_sec"] = round(cf[0], 1)
         record["cf_spread_pct"] = cf[1]
+        record["cf_protocol"] = "scanned-dispatch-480"
     if cf_bf16 is not None:
         record["cf_bf16_images_per_sec"] = round(cf_bf16[0], 1)
         record["cf_bf16_spread_pct"] = cf_bf16[1]

@@ -88,11 +88,20 @@ def render(rec: dict, source: str) -> str:
          f"{_fmt(rec.get('bf16_b256_mfu_pct'))}% MFU"),
         ("batched CF images/sec (abduct–act–predict, batch 2048)",
          f"**{_fmt(rec.get('cf_images_per_sec'))}**",
-         "one jitted program (SCM flows + E + G)"),
+         "one jitted program (SCM flows + E + G)"
+         + ("; scanned-dispatch protocol (docs/PERF.md)"
+            if rec.get("cf_protocol") else "")),
         ("AudioMNIST BiGAN (128², d=64) steps/sec (batch 128)",
          _fmt(rec.get("audio_bigan_steps_per_sec"), 1),
          "MXU-bound, ~40% of bf16 peak in f32 (docs/PERF.md)"),
     ]
+    if rec.get("cf_bf16_images_per_sec") is not None:
+        rows.insert(
+            [r[0] for r in rows].index(
+                "batched CF images/sec (abduct–act–predict, batch 2048)") + 1,
+            ("batched CF images/sec (bf16 E/G forwards)",
+             _fmt(rec.get("cf_bf16_images_per_sec")),
+             "pure-inference option via the model config's compute_dtype"))
     if rec.get("fused_f32_b64_steps_per_sec") is not None:
         rows.insert(2, (
             "MNIST BiGAN steps/sec (batch 64, f32, fused throughput config)",
