@@ -42,8 +42,9 @@ parser.add_argument("--compute-dtype", type=str, default="float32",
                     help="activation/matmul dtype for the E/G/D forwards "
                          "(params and optimizer state stay float32). "
                          "bfloat16 is +18%% steps/s on this family "
-                         "(docs/PERF.md); float32 keeps exact reference "
-                         "numerics")
+                         "(docs/PERF.md) and quality-neutral at budget "
+                         "(RESULTS.md bf16 battery: CF 0.9833 vs f32 "
+                         "0.9767); float32 keeps exact reference numerics")
 parser.add_argument("--resume", action="store_true",
                     help="continue from an existing audio-mnist-bigan.tar in --output-path")
 
